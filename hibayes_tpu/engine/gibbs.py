@@ -1,0 +1,890 @@
+"""Individual-level MCMC engine: exact blocked Gibbs for the Bayesian alphabet.
+
+TPU-native redesign of the reference's monolithic sampler
+(reference: src/Bayes.cpp:477-917).  The reference updates SNP effects one at
+a time, each draw reading the residual vector mutated by the previous draw —
+an O(n*m) chain of BLAS-1 ops that is strictly sequential in m
+(src/Bayes.cpp:586-816).  The TPU formulation is mathematically *identical*
+but restructured around the MXU:
+
+    for each block b of B SNPs:
+        r0   = X_b^T yadj                  # one (B,n)x(n,) matmul  (MXU)
+        scan j in 0..B-1:                  # tiny VPU scan, state in VMEM
+            rhs_j = r_local[j] + xpx_j g_j # == dot(X_j, yadj_current)
+            draw g_j' per alphabet member
+            r_local += (g_j - g_j') W_b[:, j]   # length-B axpy
+        yadj += X_b (g_b - g_b')           # one (n,B)x(B,) matmul  (MXU)
+
+where W_b = X_b^T X_b is the precomputed block Gram matrix.  The identity
+dot(X_k, yadj + d*X_j) = dot(X_k, yadj) + d*W[k, j] makes the blocked update
+bit-for-bit equivalent to the sequential one in exact arithmetic (verified
+against a NumPy oracle in tests/test_blocked_exact.py).
+
+Multi-device: shard the *individual* axis of X/yadj/u over the mesh; the two
+matmuls contract over n so XLA inserts psums over ICI, while the inner scan
+runs replicated on O(B) state.  The chain remains exact under sharding.
+
+All randomness is derived from deterministic per-iteration streams
+(fold_in(iter_key, STREAM_*)) so a NumPy oracle can replay a chain exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+MODEL_INDEX = {
+    "BayesRR": 1,
+    "BayesA": 2,
+    "BayesB": 3,
+    "BayesBpi": 3,
+    "BayesC": 4,
+    "BayesCpi": 4,
+    "BSLMM": 4,
+    "BayesL": 5,
+    "BayesR": 6,
+}
+
+# Deterministic RNG stream ids within one iteration (fold_in(iter_key, id)).
+STREAM_MU = 0
+STREAM_COV = 1
+STREAM_SNP_Z = 2
+STREAM_SNP_U = 3
+STREAM_SNP_CHI = 4
+STREAM_SNP_Z2 = 5
+STREAM_VARG = 6
+STREAM_PI = 7
+STREAM_VE = 8
+STREAM_BSLMM_Z = 9
+STREAM_BSLMM_CHI = 10
+STREAM_EPSL_J = 11
+STREAM_EPSL_Z = 12
+STREAM_EPSL_CHI = 13
+STREAM_LAMBDA = 14
+STREAM_FACTOR = 20  # factor i uses 20 + 2*i (normals) and 21 + 2*i (chisq)
+
+
+def _var(x, axis=None):
+    """Sample variance with n-1 denominator (arma::var default)."""
+    return jnp.var(x, axis=axis, ddof=1)
+
+
+@dataclass(frozen=True)
+class GibbsSpec:
+    """Static configuration of one chain (hashable -> part of the jit key)."""
+
+    model: str
+    n: int
+    m: int                  # number of real SNPs
+    m_pad: int              # padded to a multiple of block
+    block: int
+    nc: int                 # fixed covariates
+    nlevels: tuple          # env random factor level counts
+    n_fold: int
+    niter: int
+    nburn: int
+    thin: int
+    nvar0: int              # monomorphic SNP count (vx == 0 among real SNPs)
+    nw: int = 0             # GWAS windows (0 = off)
+    fixpi: bool = False
+    # priors (resolved to numbers before tracing; reference Bayes.cpp:319-363)
+    dfvara: float = 4.0
+    s2vara: float = 0.0
+    dfvare: float = -2.0
+    s2vare: float = 0.0
+    dfr: float = -1.0
+    s2r: float = 0.0
+    # chain-start constant s2varg_ = s2vara_/((1-Pi0)*sumvx) (Bayes.cpp:350)
+    s2varg: float = 0.0
+    # BayesL hyper-prior constants (reference Bayes.cpp:360-363):
+    # shape0 = 1.1, rate0 = (shape0-1)/lambda2_init
+    lambda_shape0: float = 1.1
+    lambda_rate0: float = 0.0
+    # single step / BSLMM toggles
+    ne: int = 0             # phenotyped individuals with imputed genotype
+    qe: int = 0             # epsilon levels (non-genotyped pedigree ids)
+    use_bslmm: bool = False
+    # sbrm-style strict positivity check for the BayesL local variance
+    vargl_strict_pos: bool = False
+    resync_every: int = 256  # periodic f32 drift resync of yadj/u
+
+    @property
+    def model_index(self) -> int:
+        return MODEL_INDEX[self.model]
+
+    @property
+    def nblocks(self) -> int:
+        return self.m_pad // self.block
+
+    @property
+    def n_records(self) -> int:
+        return (self.niter - self.nburn) // self.thin
+
+    @property
+    def niter_eff(self) -> int:
+        # The reference breaks as soon as n_records samples are collected
+        # (src/Bayes.cpp:916), i.e. after nburn + n_records*thin iterations.
+        return self.nburn + self.n_records * self.thin
+
+
+class ChainState(NamedTuple):
+    it: jnp.ndarray          # iteration counter
+    mu: jnp.ndarray
+    beta: jnp.ndarray        # (nc,)
+    estR: tuple              # per factor (nlev_i,)
+    vrtmp: jnp.ndarray       # (nr,)
+    vr: jnp.ndarray          # (nr,)
+    yadj: jnp.ndarray        # (n,)
+    u: jnp.ndarray           # (n,)
+    g: jnp.ndarray           # (m_pad,)
+    varg: jnp.ndarray        # scalar (shared marker variance)
+    vargL: jnp.ndarray       # (m_pad,) BayesL local variances (size 0 otherwise)
+    lambda2: jnp.ndarray     # BayesL
+    pi: jnp.ndarray          # (n_fold,)
+    vara_fold: jnp.ndarray   # (n_fold,) BayesR
+    vara: jnp.ndarray
+    vare: jnp.ndarray
+    track: jnp.ndarray       # (m_pad,) int32 mixture component of last sweep
+    nzrate: jnp.ndarray      # (m_pad,) PIP counters
+    wppa: jnp.ndarray        # (nw,) window counters
+    # BSLMM
+    k_estR: jnp.ndarray      # (n,) polygenic effects in data space (size 0 off)
+    vbtmp: jnp.ndarray
+    va: jnp.ndarray
+    vb: jnp.ndarray
+    # single-step epsilon
+    J_beta: jnp.ndarray
+    epsl_estR: jnp.ndarray   # (qe,)
+    vepstmp: jnp.ndarray
+    veps: jnp.ndarray
+
+
+class GibbsData(NamedTuple):
+    """Device-resident inputs. X_blocks is the genotype in block layout."""
+
+    y: jnp.ndarray             # (n,)
+    X_blocks: jnp.ndarray      # (nblocks, n, B)
+    W_blocks: jnp.ndarray      # (nblocks, B, B) block Gram matrices
+    xpx: jnp.ndarray           # (m_pad,)
+    vx: jnp.ndarray            # (m_pad,)
+    real: jnp.ndarray          # (m_pad,) bool — real (non-padding) SNPs
+    C: jnp.ndarray             # (n, nc)
+    cpc: jnp.ndarray           # (nc,)
+    r_codes: tuple             # per factor (n,) int32
+    r_counts: tuple            # per factor (nlev_i,)
+    fold: jnp.ndarray          # (n_fold,)
+    windindx0: jnp.ndarray     # (m_pad,) int32 0-based window ids (pad -> nw)
+    # BSLMM (sizes 0 when off)
+    K: jnp.ndarray             # (n, n) eigenvectors of the GRM
+    Kval: jnp.ndarray          # (n,)
+    # single-step epsilon term (sizes 0 when off)
+    epsl_yJ: jnp.ndarray       # (n,) J covariate
+    epsl_LHS_A: jnp.ndarray    # (qe, qe) dense A-inverse(nn) block
+    epsl_codes: jnp.ndarray    # (ne,) int32 -> level of each imputed individual
+    epsl_counts: jnp.ndarray   # (qe,)
+
+
+# ---------------------------------------------------------------------------
+# per-SNP conditional draws (the "Bayesian alphabet"), one scan step
+# ---------------------------------------------------------------------------
+
+
+def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
+    """One SNP update inside a block.  Mirrors the six switch cases of the
+    reference hot loop (src/Bayes.cpp:586-816) with pre-generated randoms."""
+    mi = spec.model_index
+    dt = consts["ve"].dtype
+    r_local, vargi_acc, vargR_acc = carry
+    j, wrow, xx, vxj, g_old, z, uu, chi, z2, vargL_old = xs
+
+    ve = consts["ve"]
+    active = vxj > 0
+
+    rhs = r_local[j] + xx * g_old
+    gi = jnp.zeros((), dt)
+    track = jnp.zeros((), jnp.int32)
+    vargL_new = vargL_old
+
+    if mi == 1:  # BayesRR (src/Bayes.cpp:587-605)
+        varg = consts["varg"]
+        v = xx + ve / varg
+        gi = rhs / v + jnp.sqrt(ve / v) * z
+    elif mi == 2:  # BayesA: per-SNP variance redrawn first (src/Bayes.cpp:607-626)
+        varg = (g_old * g_old + consts["s2varg_df"]) / chi
+        v = xx + ve / varg
+        gi = rhs / v + jnp.sqrt(ve / v) * z
+    elif mi in (3, 4):  # BayesB/Bpi (per-SNP varg) or BayesC/Cpi (shared)
+        if mi == 3:
+            varg = (g_old * g_old + consts["s2varg_df"]) / chi
+        else:
+            varg = consts["varg"]
+        lhs = xx / ve
+        logdetV = jnp.log(varg * lhs + 1.0)
+        v = xx + ve / varg
+        uhat = rhs / v
+        s1 = -0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"][1]
+        s0 = consts["logpi"][0]
+        accept0 = 1.0 / (1.0 + jnp.exp(s1 - s0))  # P(component 0)
+        indist = jnp.where(uu < accept0, 0, 1)
+        indist = jnp.where(active, indist, 0)
+        gi = jnp.where(indist == 1, rhs / v + jnp.sqrt(ve / v) * z, 0.0)
+        track = indist.astype(jnp.int32)
+        if mi == 4:
+            vargi_acc = vargi_acc + jnp.where(indist == 1, gi * gi, 0.0)
+    elif mi == 5:  # BayesL (src/Bayes.cpp:718-742)
+        v = xx + 1.0 / vargL_old
+        gi = rhs / v + jnp.sqrt(ve / v) * z
+        gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.asarray(1e-6, dt), gi)
+        lam2 = consts["lambda2"]
+        lam = jnp.sqrt(lam2)
+        ig = _inv_gaussian_from(z2, uu, jnp.sqrt(ve) * lam / jnp.abs(gi), lam2)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL_new = jnp.where(active & ok, vargi, vargL_old)
+    else:  # BayesR multi-fold mixture (src/Bayes.cpp:743-815)
+        lhs = xx / ve
+        vara_fold = consts["vara_fold"]       # (n_fold,)
+        ve_vara_fold = consts["ve_vara_fold"]  # (n_fold,)
+        logdetV = jnp.log(vara_fold * lhs + 1.0)
+        uhat = rhs / (xx + ve_vara_fold)
+        s = -0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"]
+        s = s.at[0].set(consts["logpi"][0])
+        # stemp[f] = softmax over folds (reference computes it pairwise)
+        stemp = jax.nn.softmax(s)
+        cum = jnp.cumsum(stemp)
+        hit = uu < cum
+        indist = jnp.where(jnp.any(hit), jnp.argmax(hit), 0).astype(jnp.int32)
+        indist = jnp.where(active, indist, 0)
+        vf = ve_vara_fold[indist]
+        v = xx + vf
+        gi = jnp.where(indist > 0, rhs / v + jnp.sqrt(ve / v) * z, 0.0)
+        track = indist
+        fold_at = consts["fold"][indist]
+        vargR_acc = vargR_acc + jnp.where(indist > 0, gi * gi / jnp.maximum(fold_at, 1e-30), 0.0)
+
+    gi = jnp.where(active, gi, 0.0)
+    dg = g_old - gi
+    r_local = r_local + dg * wrow
+    return (r_local, vargi_acc, vargR_acc), (gi, track, vargL_new)
+
+
+def _inv_gaussian_from(z, u, mu, lam):
+    y = z * z
+    x = mu + 0.5 * mu * mu * y / lam - 0.5 * (mu / lam) * jnp.sqrt(
+        4.0 * mu * lam * y + mu * mu * y * y
+    )
+    return jnp.where(u <= mu / (mu + x), x, mu * mu / x)
+
+
+# ---------------------------------------------------------------------------
+# blocked single-site Gibbs for dense MME systems (single-step epsilon term)
+# ---------------------------------------------------------------------------
+
+
+def blocked_mme_gibbs(A, diagA, x, b, ve, z, block):
+    """Single-site Gibbs sweep over x | A x = b + noise, blocked for TPU.
+
+    Equivalent to the reference's sequential sampler (src/solver.cpp:119-140):
+    x_i ~ N((b_i - sum_{k != i} A_ik x_k)/A_ii, ve/A_ii), processed in order.
+    Maintains res = b - A x; within a block the correction uses the block
+    column slice of A, exactly like the SNP blocked update.
+    """
+    q = x.shape[0]
+    nb = q // block
+    res = b - A @ x
+
+    Ablocks = A.reshape(q, nb, block).transpose(1, 0, 2)  # (nb, q, B)
+
+    def block_body(carry, xs):
+        x_all, res = carry
+        bi, Ab = xs  # Ab: (q, B)
+        Wb = jax.lax.dynamic_slice(Ab, (bi * block, 0), (block, block))
+        r_local = jax.lax.dynamic_slice(res, (bi * block,), (block,))
+        xb = jax.lax.dynamic_slice(x_all, (bi * block,), (block,))
+        db = jax.lax.dynamic_slice(diagA, (bi * block,), (block,))
+        zb = jax.lax.dynamic_slice(z, (bi * block,), (block,))
+
+        def site(carry_in, sxs):
+            r_loc, = carry_in
+            j, wcol, xj, aii, zj = sxs
+            mean = r_loc[j] / aii + xj
+            xnew = mean + jnp.sqrt(ve / aii) * zj
+            dx = xnew - xj
+            r_loc = r_loc - dx * wcol
+            return (r_loc,), (xnew, dx)
+
+        (_,), (xnew_b, dx_b) = jax.lax.scan(
+            site,
+            (r_local,),
+            (jnp.arange(block), Wb.T, xb, db, zb),
+        )
+        res = res - jnp.matmul(Ab, dx_b, precision=HIGHEST)
+        x_all = jax.lax.dynamic_update_slice(x_all, xnew_b, (bi * block,))
+        return (x_all, res), None
+
+    (x, _), _ = jax.lax.scan(block_body, (x, res), (jnp.arange(nb), Ablocks))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# one full MCMC iteration
+# ---------------------------------------------------------------------------
+
+
+def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
+    dt = data.y.dtype
+    n = spec.n
+    nr = len(spec.nlevels)
+    key = jax.random.fold_in(base_key, state.it)
+
+    mu, beta, yadj, u, g = state.mu, state.beta, state.yadj, state.u, state.g
+    ve = state.vare
+
+    # --- intercept (src/Bayes.cpp:480-482) ---
+    z = jax.random.normal(jax.random.fold_in(key, STREAM_MU), dtype=dt)
+    delta = jnp.sum(yadj) / n + jnp.sqrt(ve / n) * z
+    mu = mu + delta
+    yadj = yadj - delta
+
+    # --- fixed covariates, sequential (src/Bayes.cpp:484-494) ---
+    if spec.nc:
+        z_cov = jax.random.normal(jax.random.fold_in(key, STREAM_COV), (spec.nc,), dtype=dt)
+
+        def cov_body(carry, xs):
+            yadj, = carry
+            ci, cpci, bi_old, zi = xs
+            rhs = jnp.dot(ci, yadj, precision=HIGHEST) + cpci * bi_old
+            bi = rhs / cpci + jnp.sqrt(ve / cpci) * zi
+            yadj = yadj + (bi_old - bi) * ci
+            return (yadj,), bi
+
+        (yadj,), beta = jax.lax.scan(
+            cov_body, (yadj,), (data.C.T, data.cpc, beta, z_cov)
+        )
+
+    # --- environmental random effects per factor (src/Bayes.cpp:496-516) ---
+    estR_new = []
+    vrtmp = state.vrtmp
+    vr = state.vr
+    for i in range(nr):
+        nlev = spec.nlevels[i]
+        codes = data.r_codes[i]
+        counts = data.r_counts[i]
+        old = state.estR[i]
+        kz = jax.random.fold_in(key, STREAM_FACTOR + 2 * i)
+        kchi = jax.random.fold_in(key, STREAM_FACTOR + 2 * i + 1)
+        rhs = jax.ops.segment_sum(yadj, codes, num_segments=nlev) + counts * old
+        lhs = counts + ve / vrtmp[i]
+        zr = jax.random.normal(kz, (nlev,), dtype=dt)
+        new = rhs / lhs + jnp.sqrt(ve / lhs) * zr
+        yadj = yadj + (old - new)[codes]
+        chi = 2.0 * jax.random.gamma(kchi, jnp.asarray((nlev + spec.dfr) / 2.0, dt), dtype=dt)
+        vrtmp = vrtmp.at[i].set((jnp.dot(new, new) + spec.s2r * spec.dfr) / chi)
+        vr = vr.at[i].set(_var(new))
+        estR_new.append(new)
+    estR = tuple(estR_new)
+
+    # --- BSLMM polygenic block draw in the GRM eigenbasis (src/Bayes.cpp:518-552) ---
+    k_estR, vbtmp, va, vb = state.k_estR, state.vbtmp, state.va, state.vb
+    if spec.use_bslmm:
+        nk = n
+        kz = jax.random.fold_in(key, STREAM_BSLMM_Z)
+        kchi = jax.random.fold_in(key, STREAM_BSLMM_CHI)
+        k_rhs = yadj + k_estR
+        eigval = (data.Kval * ve) / (data.Kval + ve / vbtmp)
+        eigval = jnp.maximum(eigval, 0.0)
+        proj = jnp.matmul(data.K.T, k_rhs, precision=HIGHEST)
+        zk = jax.random.normal(kz, (nk,), dtype=dt)
+        k_new = jnp.matmul(
+            data.K, (eigval / ve) * proj + jnp.sqrt(eigval) * zk, precision=HIGHEST
+        )
+        diff = k_estR - k_new
+        yadj = yadj + diff
+        u = u - diff
+        Kg = jnp.matmul(data.K.T, k_new, precision=HIGHEST)
+        quad = jnp.dot(Kg, Kg / data.Kval, precision=HIGHEST)
+        chi = 2.0 * jax.random.gamma(kchi, jnp.asarray((spec.dfvara + nk) / 2.0, dt), dtype=dt)
+        vbtmp = (quad + spec.s2vara * spec.dfvara) / chi
+        vb = vbtmp
+        k_estR = k_new
+
+    # --- single-step imputation-error term (src/Bayes.cpp:554-584) ---
+    J_beta, epsl_estR, vepstmp, veps = (
+        state.J_beta, state.epsl_estR, state.vepstmp, state.veps,
+    )
+    if spec.qe:
+        ne, qe = spec.ne, spec.qe
+        kj = jax.random.fold_in(key, STREAM_EPSL_J)
+        kz = jax.random.fold_in(key, STREAM_EPSL_Z)
+        kchi = jax.random.fold_in(key, STREAM_EPSL_CHI)
+        JtJ = jnp.dot(data.epsl_yJ, data.epsl_yJ, precision=HIGHEST)
+        rhs = jnp.dot(data.epsl_yJ, yadj, precision=HIGHEST) + JtJ * J_beta
+        zj = jax.random.normal(kj, dtype=dt)
+        J_new = rhs / JtJ + jnp.sqrt(ve / JtJ) * zj
+        yadj = yadj + (J_beta - J_new) * data.epsl_yJ
+        u = u - (J_beta - J_new) * data.epsl_yJ
+        J_beta = J_new
+        # epsilon | rest: single-site Gibbs on (Z'Z + Ainn * ve/veps)
+        yadj_tail = yadj[n - ne:]
+        rhs_e = (
+            jax.ops.segment_sum(yadj_tail, data.epsl_codes, num_segments=qe)
+            + data.epsl_counts * epsl_estR
+        )
+        scale = ve / vepstmp
+        LHS = data.epsl_LHS_A * scale + jnp.diag(data.epsl_counts)
+        diagL = jnp.diag(LHS)
+        ze = jax.random.normal(kz, (qe,), dtype=dt)
+        eb = min(spec.block, qe) if qe % min(spec.block, qe) == 0 else qe
+        new_e = blocked_mme_gibbs(LHS, diagL, epsl_estR, rhs_e, ve, ze, eb)
+        diff_e = (epsl_estR - new_e)[data.epsl_codes]
+        yadj = yadj.at[n - ne:].add(diff_e)
+        u = u.at[n - ne:].add(-diff_e)
+        quad = jnp.dot(new_e, jnp.matmul(data.epsl_LHS_A, new_e, precision=HIGHEST))
+        chi = 2.0 * jax.random.gamma(kchi, jnp.asarray((spec.dfvara + qe) / 2.0, dt), dtype=dt)
+        vepstmp = (quad + spec.s2vara * spec.dfvara) / chi
+        veps = vepstmp
+        epsl_estR = new_e
+
+    # --- the per-SNP blocked sweep ---
+    m_pad, B = spec.m_pad, spec.block
+    z_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
+    u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
+    chi_snp = 2.0 * jax.random.gamma(
+        jax.random.fold_in(key, STREAM_SNP_CHI),
+        jnp.asarray((spec.dfvara + 1.0) / 2.0, dt),
+        (m_pad,),
+        dtype=dt,
+    )
+    z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+
+    consts = {
+        "ve": ve,
+        "varg": state.varg,
+        "s2varg_df": jnp.asarray(spec.s2varg * spec.dfvara, dt),
+        "logpi": jnp.log(state.pi),
+        "lambda2": state.lambda2,
+        "vara_fold": state.vara_fold,
+        "ve_vara_fold": ve / jnp.maximum(state.vara_fold, 1e-30),
+        "fold": data.fold,
+    }
+
+    def block_body(carry, xs):
+        yadj, u, vargi_acc, vargR_acc = carry
+        Xb, Wb, xpx_b, vx_b, g_old_b, zb, ub, chib, z2b, vargLb, jb = xs
+        r0 = jnp.matmul(Xb.T, yadj, precision=HIGHEST)
+        (r_fin, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
+            partial(_snp_scan_step, spec, consts),
+            (r0, vargi_acc, vargR_acc),
+            (jnp.arange(B), Wb, xpx_b, vx_b, g_old_b, zb, ub, chib, z2b, vargLb),
+        )
+        dg = g_old_b - g_new_b
+        delta = jnp.matmul(Xb, dg, precision=HIGHEST)
+        yadj = yadj + delta
+        u = u - delta
+        return (yadj, u, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b)
+
+    def rs(x):
+        return x.reshape(spec.nblocks, B)
+
+    vargL_in = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
+    (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
+        block_body,
+        (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
+        (
+            data.X_blocks,
+            data.W_blocks,
+            rs(data.xpx),
+            rs(data.vx),
+            rs(g),
+            rs(z_snp),
+            rs(u_snp),
+            rs(chi_snp),
+            rs(z2_snp),
+            rs(vargL_in),
+            jnp.arange(spec.nblocks),
+        ),
+    )
+    g = g_new.reshape(m_pad)
+    track = track.reshape(m_pad)
+    vargL = vargL_new.reshape(m_pad) if state.vargL.size else state.vargL
+
+    # --- model-level variance / mixture updates ---
+    mi = spec.model_index
+    varg = state.varg
+    lambda2 = state.lambda2
+    pi = state.pi
+    vara_fold = state.vara_fold
+    m_real = spec.m
+    nvar0 = spec.nvar0
+    kvarg = jax.random.fold_in(key, STREAM_VARG)
+    kpi = jax.random.fold_in(key, STREAM_PI)
+    s2varg_df = jnp.asarray(spec.s2varg * spec.dfvara, dt)
+
+    if mi == 1:
+        df = spec.dfvara + m_real - nvar0
+        chi = 2.0 * jax.random.gamma(kvarg, jnp.asarray(df / 2.0, dt), dtype=dt)
+        varg = (jnp.dot(g, g, precision=HIGHEST) + s2varg_df) / chi
+    elif mi == 3:
+        nnz = jnp.sum((track == 1) & data.real).astype(dt)
+        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+    elif mi == 4:
+        nnz = jnp.sum((track == 1) & data.real).astype(dt)
+        df = spec.dfvara + nnz
+        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
+        varg = (vargi_acc + s2varg_df) / chi
+        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+        if spec.use_bslmm:
+            va = varg
+    elif mi == 5:
+        shape = spec.lambda_shape0 + m_real - nvar0
+        rate = spec.lambda_rate0 + jnp.sum(jnp.where(data.real, vargL, 0.0)) / 2.0
+        lambda2 = jax.random.gamma(
+            jax.random.fold_in(key, STREAM_LAMBDA), jnp.asarray(shape, dt), dtype=dt
+        ) / rate
+    elif mi == 6:
+        counts = []
+        for f in range(spec.n_fold):
+            counts.append(jnp.sum((track == f) & data.real).astype(dt))
+        fold_num = jnp.stack(counts)
+        nnz = m_real - fold_num[0]  # includes nvar0 subtraction below for pi only
+        df = spec.dfvara + nnz
+        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
+        varg = (vargR_acc + s2varg_df) / chi
+        vara_fold = varg * data.fold
+        fold_num = fold_num.at[0].add(-nvar0)
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+
+    # --- genetic + residual variances (src/Bayes.cpp:819-823) ---
+    vara = _var(u)
+    kve = jax.random.fold_in(key, STREAM_VE)
+    chi_e = 2.0 * jax.random.gamma(kve, jnp.asarray((n + spec.dfvare) / 2.0, dt), dtype=dt)
+    vare = (jnp.dot(yadj, yadj, precision=HIGHEST) + spec.s2vare * spec.dfvare) / chi_e
+
+    # --- PIP / WPPA counters post burn-in (src/Bayes.cpp:826-845) ---
+    post = state.it >= spec.nburn
+    nz = (track > 0) & data.real
+    nzrate = state.nzrate + jnp.where(post, nz.astype(dt), 0.0)
+    wppa = state.wppa
+    if spec.nw:
+        win_any = jax.ops.segment_max(
+            nz.astype(jnp.int32), data.windindx0, num_segments=spec.nw + 1
+        )[: spec.nw]
+        wppa = wppa + jnp.where(post, win_any.astype(dt), 0.0)
+
+    # --- periodic drift resync (f32 only; exact recompute of yadj and u) ---
+    if spec.resync_every and dt == jnp.float32:
+        def resync(args):
+            yadj, u = args
+            pred = jnp.zeros((n,), dt) + mu
+            if spec.nc:
+                pred = pred + jnp.matmul(data.C, beta, precision=HIGHEST)
+            for i in range(nr):
+                pred = pred + estR[i][data.r_codes[i]]
+            Xg = jnp.einsum(
+                "bnk,bk->n", data.X_blocks, g.reshape(spec.nblocks, B), precision=HIGHEST
+            )
+            u_new = Xg
+            pred = pred + Xg
+            if spec.use_bslmm:
+                pred = pred + k_estR
+                u_new = u_new + k_estR
+            if spec.qe:
+                pred = pred + J_beta * data.epsl_yJ
+                u_new = u_new + J_beta * data.epsl_yJ
+                tail = epsl_estR[data.epsl_codes]
+                pred = pred.at[n - spec.ne:].add(tail)
+                u_new = u_new.at[n - spec.ne:].add(tail)
+            return data.y - pred, u_new
+
+        yadj, u = jax.lax.cond(
+            (state.it % spec.resync_every) == spec.resync_every - 1,
+            resync,
+            lambda args: args,
+            (yadj, u),
+        )
+
+    return ChainState(
+        it=state.it + 1,
+        mu=mu,
+        beta=beta,
+        estR=estR,
+        vrtmp=vrtmp,
+        vr=vr,
+        yadj=yadj,
+        u=u,
+        g=g,
+        varg=varg,
+        vargL=vargL,
+        lambda2=lambda2,
+        pi=pi,
+        vara_fold=vara_fold,
+        vara=vara,
+        vare=vare,
+        track=track,
+        nzrate=nzrate,
+        wppa=wppa,
+        k_estR=k_estR,
+        vbtmp=vbtmp,
+        va=va,
+        vb=vb,
+        J_beta=J_beta,
+        epsl_estR=epsl_estR,
+        vepstmp=vepstmp,
+        veps=veps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prior resolution, data preparation, chain driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Priors:
+    """Resolved hyperparameters (reference defaulting: src/Bayes.cpp:319-363)."""
+
+    vary: float
+    vara: float
+    vare: float
+    dfvara: float
+    s2vara: float
+    dfvare: float
+    s2vare: float
+    varg: float
+    s2varg: float
+    dfr: float
+    s2r: float
+    vr_init: float
+    lambda2: float
+    lambda_rate0: float
+
+
+def resolve_priors(
+    y, sumvx, pi0, nr,
+    vg=None, dfvg=None, s2vg=None, ve=None, dfve=None, s2ve=None,
+    dfvr=None, s2vr=None, h2=0.5, shape0=1.1,
+) -> Priors:
+    y = jnp.asarray(y)
+    vary = float(jnp.var(y, ddof=1))
+    dfvara = 4.0 if dfvg is None else float(dfvg)
+    if dfvara <= 2:
+        raise ValueError("dfvg should not be less than 2.")
+    vara = ((dfvara - 2.0) / dfvara) * vary * h2 if vg is None else float(vg)
+    vare = vary * (1.0 - h2) / (nr + 1.0) if ve is None else float(ve)
+    dfvare = -2.0 if dfve is None else float(dfve)
+    s2vara = vara * (dfvara - 2.0) / dfvara if s2vg is None else float(s2vg)
+    denom = (1.0 - pi0) * float(sumvx)
+    varg = vara / denom
+    s2varg = s2vara / denom
+    s2vare = 0.0 if s2ve is None else float(s2ve)
+    dfr = -1.0 if dfvr is None else float(dfvr)
+    s2r = 0.0 if s2vr is None else float(s2vr)
+    vr_init = vary * (1.0 - h2) / (nr + 1.0)
+    R2 = (dfvara - 2.0) / dfvara
+    lambda2 = 2.0 * (1.0 - R2) / R2 * float(sumvx)
+    lambda_rate0 = (shape0 - 1.0) / lambda2
+    return Priors(
+        vary=vary, vara=vara, vare=vare, dfvara=dfvara, s2vara=s2vara,
+        dfvare=dfvare, s2vare=s2vare, varg=varg, s2varg=s2varg,
+        dfr=dfr, s2r=s2r, vr_init=vr_init,
+        lambda2=lambda2, lambda_rate0=lambda_rate0,
+    )
+
+
+def pad_to_block(m: int, block: int) -> int:
+    return ((m + block - 1) // block) * block
+
+
+def prepare_gibbs_data(
+    y, M, *, C=None, r_codes=(), r_nlevels=(), fold=None, windindx=None, nw=0,
+    K=None, Kval=None, epsl_yJ=None, epsl_A=None, epsl_codes=None, qe=0,
+    block=64, dtype=jnp.float32,
+):
+    """Build the device-resident GibbsData (block layout, Gram matrices, stats)."""
+    y = jnp.asarray(y, dtype)
+    n = int(y.shape[0])
+    M = jnp.asarray(M, dtype)
+    m = int(M.shape[1])
+    block = int(min(block, pad_to_block(m, 8)))
+    m_pad = pad_to_block(m, block)
+    if m_pad != m:
+        M = jnp.pad(M, ((0, 0), (0, m_pad - m)))
+    nblocks = m_pad // block
+
+    xpx = jnp.sum(M * M, axis=0)
+    vx = jnp.var(M, axis=0, ddof=1)
+    real = jnp.arange(m_pad) < m
+    vx = jnp.where(real, vx, 0.0)
+
+    X_blocks = M.reshape(n, nblocks, block).transpose(1, 0, 2)
+    W_blocks = jnp.einsum("bnk,bnl->bkl", X_blocks, X_blocks, precision=HIGHEST)
+
+    if C is None:
+        C = jnp.zeros((n, 0), dtype)
+    else:
+        C = jnp.asarray(C, dtype)
+    cpc = jnp.sum(C * C, axis=0)
+
+    r_codes_t = tuple(jnp.asarray(c, jnp.int32) for c in r_codes)
+    r_counts_t = tuple(
+        jax.ops.segment_sum(jnp.ones((n,), dtype), c, num_segments=int(nl))
+        for c, nl in zip(r_codes_t, r_nlevels)
+    )
+
+    if fold is None:
+        fold = jnp.zeros((2,), dtype)
+    else:
+        fold = jnp.asarray(fold, dtype)
+
+    if windindx is None or nw == 0:
+        wind0 = jnp.zeros((m_pad,), jnp.int32)
+        nw = 0
+    else:
+        wi = jnp.asarray(windindx, jnp.int32) - 1  # to 0-based
+        wind0 = jnp.full((m_pad,), nw, jnp.int32).at[:m].set(wi)
+
+    zero = jnp.zeros((0,), dtype)
+    return GibbsData(
+        y=y,
+        X_blocks=X_blocks,
+        W_blocks=W_blocks,
+        xpx=xpx,
+        vx=vx,
+        real=real,
+        C=C,
+        cpc=cpc,
+        r_codes=r_codes_t,
+        r_counts=r_counts_t,
+        fold=fold,
+        windindx0=wind0,
+        K=jnp.asarray(K, dtype) if K is not None else jnp.zeros((0, 0), dtype),
+        Kval=jnp.asarray(Kval, dtype) if Kval is not None else zero,
+        epsl_yJ=jnp.asarray(epsl_yJ, dtype) if epsl_yJ is not None else zero,
+        epsl_LHS_A=jnp.asarray(epsl_A, dtype) if epsl_A is not None else jnp.zeros((0, 0), dtype),
+        epsl_codes=jnp.asarray(epsl_codes, jnp.int32) if epsl_codes is not None else jnp.zeros((0,), jnp.int32),
+        epsl_counts=(
+            jax.ops.segment_sum(
+                jnp.ones((len(epsl_codes),), dtype), jnp.asarray(epsl_codes, jnp.int32),
+                num_segments=qe,
+            )
+            if qe
+            else zero
+        ),
+    )
+
+
+def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> ChainState:
+    dt = data.y.dtype
+    n, m_pad = spec.n, spec.m_pad
+    nr = len(spec.nlevels)
+    mu0 = jnp.mean(data.y)
+    pi = jnp.asarray(pi_init, dt)
+    vara_fold = priors.varg * data.fold if spec.n_fold > 2 or spec.model == "BayesR" else jnp.ones((spec.n_fold,), dt)
+    need_vargl = spec.model_index == 5
+    return ChainState(
+        it=jnp.zeros((), jnp.int32),
+        mu=mu0,
+        beta=jnp.zeros((spec.nc,), dt),
+        estR=tuple(jnp.zeros((nl,), dt) for nl in spec.nlevels),
+        vrtmp=jnp.full((nr,), priors.vr_init, dt),
+        vr=jnp.zeros((nr,), dt),
+        yadj=data.y - mu0,
+        u=jnp.zeros((n,), dt),
+        g=jnp.zeros((m_pad,), dt),
+        varg=jnp.asarray(priors.varg, dt),
+        vargL=jnp.full((m_pad,), priors.varg, dt) if need_vargl else jnp.zeros((0,), dt),
+        lambda2=jnp.asarray(priors.lambda2, dt),
+        pi=pi,
+        vara_fold=vara_fold,
+        vara=jnp.asarray(priors.vara, dt),
+        vare=jnp.asarray(priors.vare, dt),
+        track=jnp.zeros((m_pad,), jnp.int32),
+        nzrate=jnp.zeros((m_pad,), dt),
+        wppa=jnp.zeros((spec.nw,), dt),
+        k_estR=jnp.zeros((n,), dt) if spec.use_bslmm else jnp.zeros((0,), dt),
+        vbtmp=jnp.asarray(priors.vara, dt),
+        va=jnp.asarray(priors.varg, dt),
+        vb=jnp.asarray(priors.vara, dt),
+        J_beta=jnp.zeros((), dt),
+        epsl_estR=jnp.zeros((spec.qe,), dt),
+        vepstmp=jnp.asarray(priors.vara, dt),
+        veps=jnp.asarray(priors.vara, dt),
+    )
+
+
+def _snapshot(spec: GibbsSpec, state: ChainState):
+    vt = state.vara + state.vare + jnp.sum(state.vr)
+    snap = {
+        "mu": state.mu,
+        "pi": state.pi,
+        "Vg": state.vara,
+        "Ve": state.vare,
+        "h2": state.vara / vt,
+        "alpha": state.g,
+        "beta": state.beta,
+        "Vr": state.vr,
+        "r": jnp.concatenate(state.estR) if state.estR else jnp.zeros((0,), state.g.dtype),
+        "lambda": jnp.sqrt(state.lambda2),
+    }
+    if spec.use_bslmm:
+        snap["Va"] = state.va
+        snap["Vb"] = state.vb
+        snap["k_estR"] = state.k_estR
+    if spec.qe:
+        snap["Veps"] = state.veps
+        snap["J"] = state.J_beta
+        snap["epsilon"] = state.epsl_estR
+    return snap
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
+    step = lambda s: one_iteration(spec, data, base_key, s)
+
+    state = jax.lax.fori_loop(0, spec.nburn, lambda i, s: step(s), state)
+
+    def record_body(state, _):
+        state = jax.lax.fori_loop(0, spec.thin, lambda i, s: step(s), state)
+        return state, _snapshot(spec, state)
+
+    state, samples = jax.lax.scan(record_body, state, None, length=spec.n_records)
+    return state, samples
+
+
+def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=666666):
+    """Run the full chain; returns (final_state, samples dict, summaries dict).
+
+    samples arrays have leading axis n_records; alpha is sliced to the real m.
+    """
+    base_key = jax.random.PRNGKey(seed)
+    state0 = init_state(spec, data, priors, pi_init)
+    state, samples = _run_all(spec, data, base_key, state0)
+    state, samples = jax.block_until_ready((state, samples))
+
+    nzct = spec.n_records * spec.thin
+    pip = state.nzrate / nzct
+    # clamp PIP == 1 to (nzct-1)/nzct (src/Bayes.cpp:1030)
+    pip = jnp.where(pip >= 1.0, (nzct - 1.0) / nzct, pip)
+    if spec.model_index in (1, 2, 5):
+        pip = jnp.ones_like(pip)
+    wppa = state.wppa / nzct
+    wppa = jnp.where(wppa >= 1.0, (nzct - 1.0) / nzct, wppa)
+
+    samples = dict(samples)
+    samples["alpha"] = samples["alpha"][:, : spec.m]
+    extras = {"pip": pip[: spec.m], "wppa": wppa, "nzct": nzct}
+    return state, samples, extras
