@@ -7,9 +7,16 @@ for TPU: blocked Gibbs on the MXU, mesh-sharded genotypes, psum-merged
 residual updates over ICI.
 """
 
-from .data.plink import read_plink, GenoMatrix
+from .data.ld import BlockDiagLD, DenseLD, SparseLD, ldmat
+from .data.plink import GenoMatrix, read_plink
+from .data.sumstats import read_sumstat
 from .model.ibrm import ibrm
 from .model.results import BlrMod
+from .model.sbrm import sbrm
 
-__all__ = ["read_plink", "GenoMatrix", "ibrm", "BlrMod"]
+__all__ = [
+    "read_plink", "GenoMatrix", "ldmat", "read_sumstat",
+    "ibrm", "sbrm", "BlrMod",
+    "DenseLD", "SparseLD", "BlockDiagLD",
+]
 __version__ = "0.1.0"

@@ -112,6 +112,12 @@ class GibbsSpec:
     use_bslmm: bool = False
     # sbrm-style strict positivity check for the BayesL local variance
     vargl_strict_pos: bool = False
+    # SBayesS-style effect rejection guard (needs vary)
+    reject_guard: bool = False
+    vary: float = 1.0
+    # summary-level engine: per-chromosome LD segment sizes (padded and real)
+    seg_sizes: tuple = ()
+    seg_real: tuple = ()
     resync_every: int = 256  # periodic f32 drift resync of yadj/u
 
     @property
@@ -195,16 +201,43 @@ class GibbsData(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _reject_redraw(spec, consts, gi, mean, sd, vxj, gidx):
+    """SBayesS effect rejection guard (src/SBayesS.cpp:388-398, 489-499):
+    while gi^2 * vx > vary, redraw (<=100 times, else 0).  The reference also
+    clobbers its BayesC variance accumulator inside the retry loop
+    (SBayesS.cpp:392) — a bug we deliberately do not replicate; we accumulate
+    only the final accepted draw."""
+    vary = consts["vary"]
+    kr = jax.random.fold_in(consts["reject_key"], gidx)
+
+    def cond(c):
+        gi, tries, _ = c
+        return (gi * gi * vxj > vary) & (tries <= 100)
+
+    def body(c):
+        gi, tries, k = c
+        k, sub = jax.random.split(k)
+        z = jax.random.normal(sub, dtype=gi.dtype)
+        return (mean + sd * z, tries + 1, k)
+
+    gi, _, _ = jax.lax.while_loop(cond, body, (gi, jnp.zeros((), jnp.int32), kr))
+    return jnp.where(gi * gi * vxj > vary, 0.0, gi)
+
+
 def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
     """One SNP update inside a block.  Mirrors the six switch cases of the
-    reference hot loop (src/Bayes.cpp:586-816) with pre-generated randoms."""
+    reference hot loops (src/Bayes.cpp:586-816, src/SBayesD.cpp:253-456,
+    src/SBayesS.cpp:277-530) with pre-generated randoms.  ``vei`` is the
+    per-SNP residual variance: the chain's vare for individual-level/dense-LD,
+    varediff*vara + vare for sparse-LD (SBayesS.cpp:285)."""
     mi = spec.model_index
-    dt = consts["ve"].dtype
     r_local, vargi_acc, vargR_acc = carry
-    j, wrow, xx, vxj, g_old, z, uu, chi, z2, vargL_old = xs
+    j, gidx, wrow, xx, vxj, vei, g_old, z, uu, chi, z2, vargL_old = xs
+    dt = vei.dtype
 
-    ve = consts["ve"]
+    ve = vei
     active = vxj > 0
+    guard = spec.reject_guard and mi in (4, 6)
 
     rhs = r_local[j] + xx * g_old
     gi = jnp.zeros((), dt)
@@ -233,7 +266,10 @@ def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
         accept0 = 1.0 / (1.0 + jnp.exp(s1 - s0))  # P(component 0)
         indist = jnp.where(uu < accept0, 0, 1)
         indist = jnp.where(active, indist, 0)
-        gi = jnp.where(indist == 1, rhs / v + jnp.sqrt(ve / v) * z, 0.0)
+        gi = rhs / v + jnp.sqrt(ve / v) * z
+        if guard:
+            gi = _reject_redraw(spec, consts, gi, rhs / v, jnp.sqrt(ve / v), vxj, gidx)
+        gi = jnp.where(indist == 1, gi, 0.0)
         track = indist.astype(jnp.int32)
         if mi == 4:
             vargi_acc = vargi_acc + jnp.where(indist == 1, gi * gi, 0.0)
@@ -250,9 +286,8 @@ def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
     else:  # BayesR multi-fold mixture (src/Bayes.cpp:743-815)
         lhs = xx / ve
         vara_fold = consts["vara_fold"]       # (n_fold,)
-        ve_vara_fold = consts["ve_vara_fold"]  # (n_fold,)
         logdetV = jnp.log(vara_fold * lhs + 1.0)
-        uhat = rhs / (xx + ve_vara_fold)
+        uhat = rhs / (xx + ve / jnp.maximum(vara_fold, 1e-30))
         s = -0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"]
         s = s.at[0].set(consts["logpi"][0])
         # stemp[f] = softmax over folds (reference computes it pairwise)
@@ -261,9 +296,12 @@ def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
         hit = uu < cum
         indist = jnp.where(jnp.any(hit), jnp.argmax(hit), 0).astype(jnp.int32)
         indist = jnp.where(active, indist, 0)
-        vf = ve_vara_fold[indist]
+        vf = ve / jnp.maximum(vara_fold[indist], 1e-30)
         v = xx + vf
-        gi = jnp.where(indist > 0, rhs / v + jnp.sqrt(ve / v) * z, 0.0)
+        gi = rhs / v + jnp.sqrt(ve / v) * z
+        if guard:
+            gi = _reject_redraw(spec, consts, gi, rhs / v, jnp.sqrt(ve / v), vxj, gidx)
+        gi = jnp.where(indist > 0, gi, 0.0)
         track = indist
         fold_at = consts["fold"][indist]
         vargR_acc = vargR_acc + jnp.where(indist > 0, gi * gi / jnp.maximum(fold_at, 1e-30), 0.0)
@@ -280,6 +318,64 @@ def _inv_gaussian_from(z, u, mu, lam):
         4.0 * mu * lam * y + mu * mu * y * y
     )
     return jnp.where(u <= mu / (mu + x), x, mu * mu / x)
+
+
+def alphabet_global_updates(
+    spec: GibbsSpec, key, g, track, real, fold,
+    vargi_acc, vargR_acc, vargL, varg, pi, vara_fold, lambda2,
+):
+    """Post-sweep model-level updates shared by the individual- and
+    summary-level engines: marker variance, mixture proportions, BayesL
+    lambda (reference: src/Bayes.cpp:603-814 tails of each switch case,
+    src/SBayesD.cpp:269-454)."""
+    mi = spec.model_index
+    dt = g.dtype
+    m_real = spec.m
+    nvar0 = spec.nvar0
+    kvarg = jax.random.fold_in(key, STREAM_VARG)
+    kpi = jax.random.fold_in(key, STREAM_PI)
+    s2varg_df = jnp.asarray(spec.s2varg * spec.dfvara, dt)
+
+    if mi == 1:
+        df = spec.dfvara + m_real - nvar0
+        chi = 2.0 * jax.random.gamma(kvarg, jnp.asarray(df / 2.0, dt), dtype=dt)
+        varg = (jnp.dot(g, g, precision=HIGHEST) + s2varg_df) / chi
+    elif mi == 3:
+        nnz = jnp.sum((track == 1) & real).astype(dt)
+        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+    elif mi == 4:
+        nnz = jnp.sum((track == 1) & real).astype(dt)
+        df = spec.dfvara + nnz
+        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
+        varg = (vargi_acc + s2varg_df) / chi
+        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+    elif mi == 5:
+        shape = spec.lambda_shape0 + m_real - nvar0
+        rate = spec.lambda_rate0 + jnp.sum(jnp.where(real, vargL, 0.0)) / 2.0
+        lambda2 = jax.random.gamma(
+            jax.random.fold_in(key, STREAM_LAMBDA), jnp.asarray(shape, dt), dtype=dt
+        ) / rate
+    elif mi == 6:
+        counts = []
+        for f in range(spec.n_fold):
+            counts.append(jnp.sum((track == f) & real).astype(dt))
+        fold_num = jnp.stack(counts)
+        nnz = m_real - fold_num[0]  # nvar0 subtracted below for pi only
+        df = spec.dfvara + nnz
+        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
+        varg = (vargR_acc + s2varg_df) / chi
+        vara_fold = varg * fold
+        fold_num = fold_num.at[0].add(-nvar0)
+        if not spec.fixpi:
+            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            pi = gam / jnp.sum(gam)
+    return varg, pi, vara_fold, lambda2
 
 
 # ---------------------------------------------------------------------------
@@ -464,24 +560,25 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
 
     consts = {
-        "ve": ve,
         "varg": state.varg,
         "s2varg_df": jnp.asarray(spec.s2varg * spec.dfvara, dt),
         "logpi": jnp.log(state.pi),
         "lambda2": state.lambda2,
         "vara_fold": state.vara_fold,
-        "ve_vara_fold": ve / jnp.maximum(state.vara_fold, 1e-30),
         "fold": data.fold,
+        "vary": jnp.asarray(spec.vary, dt),
+        "reject_key": jax.random.fold_in(key, 99),
     }
+    vei = jnp.full((m_pad,), ve, dt)
 
     def block_body(carry, xs):
         yadj, u, vargi_acc, vargR_acc = carry
-        Xb, Wb, xpx_b, vx_b, g_old_b, zb, ub, chib, z2b, vargLb, jb = xs
+        Xb, Wb, xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb, gidx_b = xs
         r0 = jnp.matmul(Xb.T, yadj, precision=HIGHEST)
         (r_fin, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
             partial(_snp_scan_step, spec, consts),
             (r0, vargi_acc, vargR_acc),
-            (jnp.arange(B), Wb, xpx_b, vx_b, g_old_b, zb, ub, chib, z2b, vargLb),
+            (jnp.arange(B), gidx_b, Wb, xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb),
         )
         dg = g_old_b - g_new_b
         delta = jnp.matmul(Xb, dg, precision=HIGHEST)
@@ -501,13 +598,14 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
             data.W_blocks,
             rs(data.xpx),
             rs(data.vx),
+            rs(vei),
             rs(g),
             rs(z_snp),
             rs(u_snp),
             rs(chi_snp),
             rs(z2_snp),
             rs(vargL_in),
-            jnp.arange(spec.nblocks),
+            rs(jnp.arange(m_pad)),
         ),
     )
     g = g_new.reshape(m_pad)
@@ -515,58 +613,13 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     vargL = vargL_new.reshape(m_pad) if state.vargL.size else state.vargL
 
     # --- model-level variance / mixture updates ---
-    mi = spec.model_index
-    varg = state.varg
-    lambda2 = state.lambda2
-    pi = state.pi
-    vara_fold = state.vara_fold
-    m_real = spec.m
-    nvar0 = spec.nvar0
-    kvarg = jax.random.fold_in(key, STREAM_VARG)
-    kpi = jax.random.fold_in(key, STREAM_PI)
-    s2varg_df = jnp.asarray(spec.s2varg * spec.dfvara, dt)
-
-    if mi == 1:
-        df = spec.dfvara + m_real - nvar0
-        chi = 2.0 * jax.random.gamma(kvarg, jnp.asarray(df / 2.0, dt), dtype=dt)
-        varg = (jnp.dot(g, g, precision=HIGHEST) + s2varg_df) / chi
-    elif mi == 3:
-        nnz = jnp.sum((track == 1) & data.real).astype(dt)
-        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
-        if not spec.fixpi:
-            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
-            pi = gam / jnp.sum(gam)
-    elif mi == 4:
-        nnz = jnp.sum((track == 1) & data.real).astype(dt)
-        df = spec.dfvara + nnz
-        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
-        varg = (vargi_acc + s2varg_df) / chi
-        fold_num = jnp.stack([m_real - nvar0 - nnz, nnz])
-        if not spec.fixpi:
-            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
-            pi = gam / jnp.sum(gam)
-        if spec.use_bslmm:
-            va = varg
-    elif mi == 5:
-        shape = spec.lambda_shape0 + m_real - nvar0
-        rate = spec.lambda_rate0 + jnp.sum(jnp.where(data.real, vargL, 0.0)) / 2.0
-        lambda2 = jax.random.gamma(
-            jax.random.fold_in(key, STREAM_LAMBDA), jnp.asarray(shape, dt), dtype=dt
-        ) / rate
-    elif mi == 6:
-        counts = []
-        for f in range(spec.n_fold):
-            counts.append(jnp.sum((track == f) & data.real).astype(dt))
-        fold_num = jnp.stack(counts)
-        nnz = m_real - fold_num[0]  # includes nvar0 subtraction below for pi only
-        df = spec.dfvara + nnz
-        chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
-        varg = (vargR_acc + s2varg_df) / chi
-        vara_fold = varg * data.fold
-        fold_num = fold_num.at[0].add(-nvar0)
-        if not spec.fixpi:
-            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
-            pi = gam / jnp.sum(gam)
+    varg, pi, vara_fold, lambda2 = alphabet_global_updates(
+        spec, key, g, track, data.real, data.fold,
+        vargi_acc, vargR_acc, vargL,
+        state.varg, state.pi, state.vara_fold, state.lambda2,
+    )
+    if spec.model_index == 4 and spec.use_bslmm:
+        va = varg
 
     # --- genetic + residual variances (src/Bayes.cpp:819-823) ---
     vara = _var(u)
@@ -676,10 +729,11 @@ class Priors:
 def resolve_priors(
     y, sumvx, pi0, nr,
     vg=None, dfvg=None, s2vg=None, ve=None, dfve=None, s2ve=None,
-    dfvr=None, s2vr=None, h2=0.5, shape0=1.1,
+    dfvr=None, s2vr=None, h2=0.5, shape0=1.1, vary=None,
 ) -> Priors:
-    y = jnp.asarray(y)
-    vary = float(jnp.var(y, ddof=1))
+    if vary is None:
+        y = jnp.asarray(y)
+        vary = float(jnp.var(y, ddof=1))
     dfvara = 4.0 if dfvg is None else float(dfvg)
     if dfvara <= 2:
         raise ValueError("dfvg should not be less than 2.")

@@ -1,0 +1,136 @@
+"""`sbrm` + `ldmat` tests: LD construction correctness and summary-model fits."""
+
+import numpy as np
+import pytest
+
+import hibayes_tpu as ht
+
+DEMO = "/root/reference/inst/extdata/demo"
+
+
+@pytest.fixture(scope="module")
+def demo():
+    bin_ = ht.read_plink(DEMO)
+    ma = ht.read_sumstat(DEMO + ".ma")
+    return bin_, ma
+
+
+# ------------------------------------------------------------------- ldmat
+def test_ldmat_dense_matches_numpy():
+    rng = np.random.default_rng(0)
+    X = rng.binomial(2, 0.4, size=(50, 12)).astype(np.float64)
+    ld = ht.ldmat(X)
+    Xc = X - X.mean(axis=0)
+    expect = (Xc.T @ Xc) / X.shape[0]
+    np.testing.assert_allclose(ld.values, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_ldmat_sparse_threshold():
+    rng = np.random.default_rng(1)
+    X = rng.binomial(2, 0.4, size=(60, 10)).astype(np.float64)
+    n = X.shape[0]
+    ld = ht.ldmat(X, chisq=5.0)
+    assert isinstance(ld, ht.SparseLD)
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / n
+    sd = np.sqrt(np.diag(cov))
+    r2n = (cov / np.outer(sd, sd)) ** 2 * n
+    keep = (r2n > 5.0) | np.eye(10, dtype=bool)
+    assert (ld.values[~keep] == 0).all()
+    np.testing.assert_allclose(ld.values[keep], cov[keep], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ld.nnz_col, keep.sum(axis=0))
+
+
+def test_ldmat_chromosome_blocks(demo):
+    bin_, _ = demo
+    ld = ht.ldmat(bin_["geno"], map=bin_["map"], ldchr=False)
+    assert isinstance(ld, ht.BlockDiagLD)
+    assert ld.m == 1000
+    assert len(ld.blocks) == len(np.unique(bin_["map"]["Chr"]))
+    # diag must equal per-SNP variance*(n-1)/n
+    g = bin_["geno"].values.astype(np.float64)
+    v = g.var(axis=0)
+    np.testing.assert_allclose(ld.diag, v, rtol=1e-4, atol=1e-6)
+
+
+def test_ldmat_gwas_overlay():
+    rng = np.random.default_rng(3)
+    X = rng.binomial(2, 0.4, size=(40, 6)).astype(np.float64)
+    Xg = rng.binomial(2, 0.4, size=(30, 4)).astype(np.float64)
+    map_ = {"SNP": np.array([f"s{i}" for i in range(6)]),
+            "Chr": np.ones(6), "Pos": np.arange(1, 7)}
+    gmap = {"SNP": np.array(["s1", "s3", "s4", "s9"]),  # s9 not in ref
+            "Chr": np.ones(4), "Pos": np.arange(1, 5)}
+    ld = ht.ldmat(X, map=map_, gwas_geno=Xg, gwas_map=gmap, ldchr=True)
+    shared_ref = [1, 3, 4]
+    Xgs = Xg[:, :3]  # the columns of shared SNPs (s1, s3, s4)
+    Xc = Xgs - Xgs.mean(axis=0)
+    gcov = (Xc.T @ Xc) / Xgs.shape[0]
+    np.testing.assert_allclose(
+        ld.values[np.ix_(shared_ref, shared_ref)], gcov, rtol=1e-5, atol=1e-6
+    )
+
+
+# ------------------------------------------------------------------- sbrm
+def test_sbrm_demo_dense(demo):
+    bin_, ma = demo
+    ld = ht.ldmat(bin_["geno"])
+    fit = ht.sbrm(ma, ld, method="BayesCpi", niter=2000, nburn=1200, verbose=False)
+    assert 0 < fit.h2 < 1
+    assert fit.Vg > 0 and fit.Ve > 0
+    assert fit.alpha.shape == (1000,)
+    assert np.isfinite(fit.alpha).all()
+
+
+def test_sbrm_demo_blockdiag_sparse_semantics(demo):
+    bin_, ma = demo
+    ld = ht.ldmat(bin_["geno"], map=bin_["map"], ldchr=False, chisq=5.0)
+    fit = ht.sbrm(ma, ld, method="BayesCpi", niter=1500, nburn=900, verbose=False)
+    assert 0 < fit.h2 < 1
+    assert np.isfinite(fit.alpha).all()
+
+
+def test_sbrm_recovers_individual_alpha():
+    """Summary-level fit from single-SNP GWAS stats should correlate with the
+    individual-level fit on the same data."""
+    rng = np.random.default_rng(7)
+    n, m = 500, 300
+    M = rng.binomial(2, rng.uniform(0.1, 0.5, m), size=(n, m)).astype(np.float64)
+    b = np.zeros(m)
+    b[rng.choice(m, 15, replace=False)] = rng.normal(0, 0.6, 15)
+    y = M @ b + rng.normal(0, 1.2, n)
+    # single-SNP GWAS
+    beta = np.zeros(m)
+    se = np.zeros(m)
+    for j in range(m):
+        x = M[:, j] - M[:, j].mean()
+        denom = (x * x).sum()
+        beta[j] = (x * (y - y.mean())).sum() / denom
+        resid = (y - y.mean()) - beta[j] * x
+        se[j] = np.sqrt((resid * resid).sum() / (n - 2) / denom)
+    ss = {"MAF": np.minimum(M.mean(0) / 2, 1 - M.mean(0) / 2),
+          "BETA": beta, "SE": se, "NMISS": np.full(m, n)}
+    ld = ht.ldmat(M)
+    fit = ht.sbrm(ss, ld, method="BayesCpi", niter=3000, nburn=1500, verbose=False)
+    corr = np.corrcoef(fit.alpha, b)[0, 1]
+    assert corr > 0.6
+    assert 0 < fit.h2 < 1
+
+
+def test_sbrm_cg(demo):
+    bin_, ma = demo
+    ld = ht.ldmat(bin_["geno"])
+    fit = ht.sbrm(ma, ld, method="CG", lambda_=0.01, verbose=False)
+    assert np.isfinite(fit.alpha).all()
+    assert fit.Vg > 0
+
+
+def test_sbrm_na_sumstat_masked(demo):
+    """SNPs with NA BETA/SE are excluded (ifest, SBayesD.cpp:100-110)."""
+    bin_, ma = demo
+    ma = {k: np.array(v, copy=True) for k, v in ma.items()}
+    ma["SE"][:20] = np.nan
+    ld = ht.ldmat(bin_["geno"])
+    fit = ht.sbrm(ma, ld, method="BayesCpi", niter=800, nburn=500, verbose=False)
+    assert (fit.alpha[:20] == 0).all()
+    assert np.isfinite(fit.alpha).all()
