@@ -13,10 +13,11 @@ from .data.sumstats import read_sumstat
 from .model.ibrm import ibrm
 from .model.results import BlrMod
 from .model.sbrm import sbrm
+from .model.ssbrm import ssbrm
 
 __all__ = [
     "read_plink", "GenoMatrix", "ldmat", "read_sumstat",
-    "ibrm", "sbrm", "BlrMod",
+    "ibrm", "sbrm", "ssbrm", "BlrMod",
     "DenseLD", "SparseLD", "BlockDiagLD",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,173 @@
+"""Pedigree kernels + single-step model tests."""
+
+import numpy as np
+import pytest
+
+import hibayes_tpu as ht
+from hibayes_tpu.data.pedigree import make_ainv, make_ped, read_pedigree, solve_a_ng
+from hibayes_tpu.model.ssbrm import ssbrm
+
+DEMO = "/root/reference/inst/extdata/demo"
+
+
+# ---------------------------------------------------------------- pedigree
+def test_make_ped_orders_parents_first():
+    ids = np.array(["c", "a", "b"])
+    sires = np.array(["a", "0", "0"])
+    dams = np.array(["b", "0", "0"])
+    out_ids, s, d = make_ped(ids, sires, dams)
+    pos = {v: i for i, v in enumerate(out_ids)}
+    assert pos["a"] < pos["c"] and pos["b"] < pos["c"]
+    # c's parents point at a and b (1-based)
+    ci = pos["c"]
+    assert out_ids[s[ci] - 1] == "a"
+    assert out_ids[d[ci] - 1] == "b"
+
+
+def test_make_ped_unlisted_parent_becomes_founder():
+    ids = np.array(["x"])
+    sires = np.array(["p"])
+    dams = np.array(["NA"])
+    out_ids, s, d = make_ped(ids, sires, dams)
+    assert set(out_ids) == {"x", "p"}
+    pos = {v: i for i, v in enumerate(out_ids)}
+    assert pos["p"] < pos["x"]
+    assert d[pos["x"]] == 0  # unknown dam
+
+
+def test_make_ainv_trio_matches_analytic():
+    """Known A-inverse for a trio (sire s, dam d, offspring o):
+    diag: s,d = 1.5, o = 2; s-d = 0.5; o-parents = -1."""
+    ids = np.array(["s", "d", "o"])
+    sires = np.array(["0", "0", "s"])
+    dams = np.array(["0", "0", "d"])
+    out_ids, si, di = make_ped(ids, sires, dams)
+    A = make_ainv(si, di).todense()
+    pos = {v: i for i, v in enumerate(out_ids)}
+    s_, d_, o_ = pos["s"], pos["d"], pos["o"]
+    assert A[s_, s_] == 1.5 and A[d_, d_] == 1.5 and A[o_, o_] == 2.0
+    assert A[s_, d_] == 0.5 and A[o_, s_] == -1.0 and A[o_, d_] == -1.0
+
+
+def test_make_ainv_one_parent_correct_vs_compat():
+    ids = np.array(["s", "o"])
+    sires = np.array(["0", "s"])
+    dams = np.array(["0", "0"])
+    _, si, di = make_ped(ids, sires, dams)
+    A = make_ainv(si, di).todense()
+    # correct Henderson single-parent rules
+    np.testing.assert_allclose(A[1, 1], 4.0 / 3.0)
+    np.testing.assert_allclose(A[0, 1], -2.0 / 3.0)
+    np.testing.assert_allclose(A[0, 0], 1.0 + 1.0 / 3.0)
+    # compat mode replicates the reference's integer-division quirk
+    # (src/rm.cpp:195-203: 4/3 -> 1, 2/3 and 1/3 -> 0)
+    Ac = make_ainv(si, di, compat_hibayes=True).todense()
+    np.testing.assert_allclose(Ac[1, 1], 1.0)
+    np.testing.assert_allclose(Ac[0, 1], 0.0)
+    np.testing.assert_allclose(Ac[0, 0], 1.0)
+
+
+def test_ainv_inverts_relationship_matrix():
+    """A-inverse from Henderson rules must actually invert the numerator
+    relationship matrix A built by the tabular method (no inbreeding)."""
+    ids = np.array(["a", "b", "c", "d", "e"])
+    sires = np.array(["0", "0", "a", "a", "c"])
+    dams = np.array(["0", "0", "b", "b", "d"])
+    out_ids, si, di = make_ped(ids, sires, dams)
+    n = len(out_ids)
+    # tabular A
+    A = np.zeros((n, n))
+    for i in range(n):
+        s_, d_ = si[i] - 1, di[i] - 1
+        for j in range(i):
+            a_js = A[j, s_] if s_ >= 0 else 0.0
+            a_jd = A[j, d_] if d_ >= 0 else 0.0
+            A[i, j] = A[j, i] = 0.5 * (a_js + a_jd)
+        inb = 0.5 * A[s_, d_] if (s_ >= 0 and d_ >= 0) else 0.0
+        A[i, i] = 1.0 + inb
+    Ainv = np.linalg.inv(A)
+    H = np.asarray(make_ainv(si, di).todense())
+    # Henderson's rules ignore inbreeding; with one inbred individual (e)
+    # allow loose agreement on e's entries, exact elsewhere
+    np.testing.assert_allclose(H[:4, :4], Ainv[:4, :4], atol=0.35)
+
+
+def test_solve_a_ng():
+    rng = np.random.default_rng(0)
+    import scipy.sparse as sp
+
+    Ann = sp.csc_matrix(np.diag(rng.uniform(1, 2, 5)) + 0.1 * np.eye(5))
+    Ang = sp.csc_matrix(rng.normal(size=(5, 3)))
+    X = solve_a_ng(Ann, Ang)
+    np.testing.assert_allclose(Ann @ X, -np.asarray(Ang.todense()), atol=1e-10)
+
+
+# -------------------------------------------------------------------- ssbrm
+@pytest.fixture(scope="module")
+def demo():
+    bin_ = ht.read_plink(DEMO)
+    pheno = {}
+    with open(DEMO + ".phe") as f:
+        header = f.readline().split()
+        rows = [line.split() for line in f if line.strip()]
+    for i, h in enumerate(header):
+        col = np.array([r[i] for r in rows])
+        try:
+            col = col.astype(np.float64)
+        except ValueError:
+            pass
+        pheno[h] = col
+    ped = read_pedigree(DEMO + ".ped")
+    return bin_, pheno, ped
+
+
+def test_ssbrm_demo(demo):
+    bin_, pheno, (pid, ps, pd_) = demo
+    fit = ssbrm(
+        "T1~1", data=pheno, M=bin_["geno"].values, M_id=bin_["fam"][1],
+        pedigree={"id": pid, "sire": ps, "dam": pd_},
+        method="BayesCpi", niter=1000, nburn=600, thin=5, verbose=False,
+    )
+    # GEBV for every pedigree id (genotyped + non-genotyped)
+    assert len(fit.g["id"]) > 600
+    assert np.isfinite(fit.g["gebv"]).all()
+    assert fit.Veps is not None and fit.Veps > 0
+    assert fit.J is not None
+    assert fit.epsilon is not None
+    assert 0 < fit.h2 < 1
+    # phenotyped individuals WITHOUT genotype contribute via imputation
+    assert len(fit.e["id"]) == 500  # all 500 phenotyped ids are in pedigree
+
+
+def test_ssbrm_synthetic_prediction():
+    """Non-genotyped relatives' GEBV should correlate with their true
+    breeding values through the pedigree."""
+    rng = np.random.default_rng(21)
+    n_founders, m = 120, 300
+    Mf = rng.binomial(2, rng.uniform(0.2, 0.5, m), size=(n_founders, m)).astype(float)
+    # offspring = average of two random parents + mendelian noise (crude)
+    n_off = 120
+    pairs = rng.integers(0, n_founders, size=(n_off, 2))
+    Mo = np.zeros((n_off, m))
+    for k, (a, b) in enumerate(pairs):
+        Mo[k] = np.round((Mf[a] + Mf[b]) / 2 + rng.normal(0, 0.3, m)).clip(0, 2)
+    beta = np.zeros(m)
+    beta[rng.choice(m, 20, replace=False)] = rng.normal(0, 0.5, 20)
+    g_all = np.concatenate([Mf @ beta, Mo @ beta])
+    y_all = g_all + rng.normal(0, g_all.std(), 2 * n_founders)
+
+    ids = np.array([f"F{i}" for i in range(n_founders)] + [f"O{i}" for i in range(n_off)])
+    ped_id = ids
+    ped_s = np.array(["0"] * n_founders + [f"F{a}" for a, _ in pairs])
+    ped_d = np.array(["0"] * n_founders + [f"F{b}" for _, b in pairs])
+    # only founders genotyped; everyone phenotyped
+    data = {"id": ids, "y": y_all}
+    fit = ssbrm(
+        "y~1", data=data, M=Mf, M_id=ids[:n_founders],
+        pedigree={"id": ped_id, "sire": ped_s, "dam": ped_d},
+        method="BayesCpi", niter=1500, nburn=900, verbose=False,
+    )
+    gmap = {i: v for i, v in zip(fit.g["id"], fit.g["gebv"])}
+    pred_off = np.array([gmap[f"O{i}"] for i in range(n_off)])
+    corr = np.corrcoef(pred_off, g_all[n_founders:])[0, 1]
+    assert corr > 0.35, f"offspring GEBV corr too low: {corr}"
