@@ -1,0 +1,98 @@
+"""Benchmark: SNP-updates/sec of the blocked-Gibbs engine on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against an in-process emulation of the reference's
+sequential per-SNP loop (one ddot + one daxpy of length n per SNP over BLAS,
+the exact hot-loop structure of src/Bayes.cpp:586-605) measured on this
+host's CPU — the reference publishes no numbers of its own (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from hibayes_tpu.engine import gibbs as G
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(0)
+    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.float32)
+    y = (M @ rng.normal(0, 0.05, m) + rng.normal(0, 1, n)).astype(np.float32)
+    pi = np.array([0.95, 0.05])
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype)
+    pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
+
+    def make_spec(ni, nb):
+        return G.GibbsSpec(
+            model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+            nc=0, nlevels=(), n_fold=2, niter=ni, nburn=nb, thin=5,
+            nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
+            dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
+            s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
+        )
+
+    # warmup/compile with a tiny chain
+    warm = make_spec(20, 10)
+    G.run_chain(warm, data, pr, pi, seed=1)
+
+    spec = make_spec(niter, niter // 2)
+    t0 = time.time()
+    state, samples, extras = G.run_chain(spec, data, pr, pi, seed=2)
+    elapsed = time.time() - t0
+    iters = spec.niter_eff
+    return iters * m / elapsed, elapsed, iters
+
+
+def measure_reference_emulation(n, m, iters=3):
+    """The reference hot loop shape: sequential per-SNP ddot + daxpy (BLAS-1)
+    over a dense double genotype (src/Bayes.cpp:586-605)."""
+    rng = np.random.default_rng(0)
+    X = rng.binomial(2, 0.3, size=(n, m)).astype(np.float64)
+    yadj = rng.normal(size=n)
+    g = np.zeros(m)
+    xpx = (X * X).sum(axis=0)
+    ve, varg = 1.0, 0.01
+    z = rng.normal(size=(iters, m))
+    t0 = time.time()
+    for it in range(iters):
+        for j in range(m):
+            xj = X[:, j]
+            rhs = xj @ yadj + xpx[j] * g[j]
+            v = xpx[j] + ve / varg
+            gi = rhs / v + np.sqrt(ve / v) * z[it, j]
+            yadj += (g[j] - gi) * xj
+            g[j] = gi
+    elapsed = time.time() - t0
+    return iters * m / elapsed
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 4096))
+    m = int(os.environ.get("BENCH_M", 16384))
+    block = int(os.environ.get("BENCH_BLOCK", 128))
+    niter = int(os.environ.get("BENCH_ITERS", 200))
+
+    ours, elapsed, iters = measure_engine(n, m, block, niter)
+    base = measure_reference_emulation(min(n, 4096), min(m, 4096))
+    print(
+        json.dumps(
+            {
+                "metric": f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block})",
+                "value": round(ours, 1),
+                "unit": "SNP-updates/s",
+                "vs_baseline": round(ours / base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -919,14 +919,25 @@ def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
     return state, samples
 
 
-def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=666666):
+def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=666666,
+              mesh=None):
     """Run the full chain; returns (final_state, samples dict, summaries dict).
 
     samples arrays have leading axis n_records; alpha is sliced to the real m.
+    With `mesh`, the individual axis is sharded across devices (exact chain,
+    psum-merged contractions over ICI).
     """
     base_key = jax.random.PRNGKey(seed)
-    state0 = init_state(spec, data, priors, pi_init)
-    state, samples = _run_all(spec, data, base_key, state0)
+    if mesh is not None:
+        from ..parallel.mesh import shard_gibbs_data, shard_state
+
+        data = shard_gibbs_data(data, mesh)
+        state0 = shard_state(init_state(spec, data, priors, pi_init), mesh)
+        with mesh:
+            state, samples = _run_all(spec, data, base_key, state0)
+    else:
+        state0 = init_state(spec, data, priors, pi_init)
+        state, samples = _run_all(spec, data, base_key, state0)
     state, samples = jax.block_until_ready((state, samples))
 
     nzct = spec.n_records * spec.thin

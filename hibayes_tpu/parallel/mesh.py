@@ -1,0 +1,98 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed layer at all (SURVEY.md section 2.3: OpenMP
+threads + multithreaded BLAS in one process).  The TPU design scales two data
+axes over a mesh:
+
+* ``ind`` — individuals (n).  The genotype's row axis.  Both hot matmuls of
+  the blocked Gibbs sweep (r0 = X_b^T yadj and yadj += X_b dg) contract over
+  n, so XLA turns the per-block reduction into a psum over ICI while the
+  O(B) inner scan runs replicated.  Sharding this axis keeps the chain
+  *mathematically exact* — the same Markov kernel, just distributed.
+* ``snp`` — markers (m).  Used for LD construction (column-block tiles),
+  GEBV/posterior matmuls, and HBM capacity for the block Gram matrices.
+
+Multi-host: `jax.distributed.initialize()` + the same named shardings; ICI
+carries the n-axis psums within a slice, DCN only broadcasts scalar state.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.gibbs import ChainState, GibbsData
+
+
+def make_mesh(n_devices=None, shape=None, axis_names=("ind", "snp")):
+    """Create a mesh over the first `n_devices` devices.
+
+    shape: tuple like (4, 2) mapping devices to (ind, snp); default puts all
+    devices on the `ind` axis (the exact data-parallel strategy).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices), 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != device count {len(devices)}")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def shard_gibbs_data(data: GibbsData, mesh: Mesh) -> GibbsData:
+    """Place GibbsData on the mesh: individual axis sharded, SNP-block Gram
+    matrices sharded over the snp axis, small state replicated."""
+
+    def put(x, spec):
+        if x is None or (hasattr(x, "size") and x.size == 0):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    snp_size = mesh.shape.get("snp", 1)
+    w_spec = (
+        P("snp", None, None)
+        if data.W_blocks.shape[0] % max(snp_size, 1) == 0
+        else P(None, None, None)
+    )
+    return data._replace(
+        y=put(data.y, P("ind")),
+        X_blocks=put(data.X_blocks, P(None, "ind", None)),
+        W_blocks=put(data.W_blocks, w_spec),
+        xpx=put(data.xpx, P()),
+        vx=put(data.vx, P()),
+        real=put(data.real, P()),
+        C=put(data.C, P("ind", None)) if data.C.size else data.C,
+        cpc=put(data.cpc, P()),
+        r_codes=tuple(put(c, P("ind")) for c in data.r_codes),
+        r_counts=tuple(put(c, P()) for c in data.r_counts),
+        fold=put(data.fold, P()),
+        windindx0=put(data.windindx0, P()),
+        K=put(data.K, P("ind", None)) if data.K.size else data.K,
+        Kval=put(data.Kval, P()) if data.Kval.size else data.Kval,
+        epsl_yJ=put(data.epsl_yJ, P("ind")) if data.epsl_yJ.size else data.epsl_yJ,
+        epsl_LHS_A=data.epsl_LHS_A,
+        epsl_codes=data.epsl_codes,
+        epsl_counts=data.epsl_counts,
+    )
+
+
+def shard_state(state: ChainState, mesh: Mesh) -> ChainState:
+    """Chain state: yadj/u/k_estR follow the individual axis, rest replicated."""
+
+    def put(x, spec):
+        if x is None or (hasattr(x, "size") and x.size == 0):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    rep = lambda x: put(x, P())
+    return state._replace(
+        yadj=put(state.yadj, P("ind")),
+        u=put(state.u, P("ind")),
+        k_estR=put(state.k_estR, P("ind")) if state.k_estR.size else state.k_estR,
+        g=rep(state.g),
+        nzrate=rep(state.nzrate),
+        track=rep(state.track),
+    )

@@ -1,0 +1,80 @@
+"""Multi-device sharding: the n-sharded chain must match single-device exactly.
+
+Runs on the virtual 8-device CPU mesh from conftest (the same mechanism the
+driver uses to validate pod-slice logic without TPUs, SURVEY.md section 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hibayes_tpu.engine import gibbs as G
+from hibayes_tpu.parallel.mesh import make_mesh, shard_gibbs_data, shard_state
+
+
+def build(model="BayesCpi", n=160, m=96, block=32, dtype=jnp.float64, nc=2, nr=1):
+    rng = np.random.default_rng(9)
+    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.float64)
+    y = (M @ rng.normal(0, 0.1, m) + rng.normal(0, 1, n))
+    C = rng.normal(size=(n, nc))
+    codes = (rng.integers(0, 4, n).astype(np.int32),)
+    data = G.prepare_gibbs_data(
+        y, M, C=C, r_codes=codes, r_nlevels=(4,), block=block, dtype=dtype
+    )
+    pi = np.array([0.95, 0.05])
+    pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=nr)
+    spec = G.GibbsSpec(
+        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        nc=nc, nlevels=(4,), n_fold=2, niter=60, nburn=30, thin=5,
+        nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
+        dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
+        dfr=pr.dfr, s2r=pr.s2r, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
+        resync_every=0,
+    )
+    return data, spec, pr, pi
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_chain_matches_single_device():
+    data, spec, pr, pi = build()
+    _, samples1, ex1 = G.run_chain(spec, data, pr, pi, seed=17)
+
+    mesh = make_mesh(8, shape=(8, 1))
+    _, samples8, ex8 = G.run_chain(spec, data, pr, pi, seed=17, mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(samples1["alpha"]), np.asarray(samples8["alpha"]),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(samples1["Vg"]), np.asarray(samples8["Vg"]), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(ex1["pip"]), np.asarray(ex8["pip"]), rtol=1e-8
+    )
+
+
+def test_2d_mesh_runs():
+    data, spec, pr, pi = build()
+    mesh = make_mesh(8, shape=(4, 2))
+    _, samples, _ = G.run_chain(spec, data, pr, pi, seed=17, mesh=mesh)
+    assert np.isfinite(np.asarray(samples["alpha"])).all()
+
+
+def test_sharded_matches_for_bayesr():
+    data, spec, pr, pi = build()
+    rng = np.random.default_rng(1)
+    pi = np.array([0.95, 0.02, 0.02, 0.01])
+    fold = np.array([0.0, 1e-4, 1e-3, 1e-2])
+    data = data._replace(fold=jnp.asarray(fold, jnp.float64))
+    spec = G.GibbsSpec(**{**spec.__dict__, "model": "BayesR", "n_fold": 4})
+    _, s1, _ = G.run_chain(spec, data, pr, pi, seed=3)
+    mesh = make_mesh(8, shape=(8, 1))
+    _, s8, _ = G.run_chain(spec, data, pr, pi, seed=3, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s1["alpha"]), np.asarray(s8["alpha"]), rtol=1e-8, atol=1e-10
+    )
