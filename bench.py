@@ -30,20 +30,18 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype)
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
 
-    def make_spec(ni, nb):
-        return G.GibbsSpec(
-            model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
-            nc=0, nlevels=(), n_fold=2, niter=ni, nburn=nb, thin=5,
-            nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
-            dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
-            s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
-        )
+    spec = G.GibbsSpec(
+        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        nc=0, nlevels=(), n_fold=2, niter=niter, nburn=niter // 2, thin=5,
+        nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
+        dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
+        s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
+        use_pallas=jax.default_backend() != "cpu",
+    )
 
-    # warmup/compile with a tiny chain
-    warm = make_spec(20, 10)
-    G.run_chain(warm, data, pr, pi, seed=1)
+    # warmup/compile with the IDENTICAL spec (niter is part of the jit key)
+    G.run_chain(spec, data, pr, pi, seed=1)
 
-    spec = make_spec(niter, niter // 2)
     t0 = time.time()
     state, samples, extras = G.run_chain(spec, data, pr, pi, seed=2)
     elapsed = time.time() - t0

@@ -115,6 +115,9 @@ class GibbsSpec:
     # SBayesS-style effect rejection guard (needs vary)
     reject_guard: bool = False
     vary: float = 1.0
+    # fused Pallas sweep kernel (TPU); falls back to the XLA scan when the
+    # configuration is unsupported (f64, rejection guard, oversized X_b)
+    use_pallas: bool = False
     # summary-level engine: per-chromosome LD segment sizes (padded and real)
     seg_sizes: tuple = ()
     seg_real: tuple = ()
@@ -224,25 +227,29 @@ def _reject_redraw(spec, consts, gi, mean, sd, vxj, gidx):
     return jnp.where(gi * gi * vxj > vary, 0.0, gi)
 
 
-def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
-    """One SNP update inside a block.  Mirrors the six switch cases of the
+def snp_draw(spec: GibbsSpec, consts, rhs, xx, vxj, vei, g_old, z, uu, chi, z2,
+             vargL_old, gidx=None):
+    """One conditional effect draw — scalar math only, shared between the XLA
+    scan and the Pallas kernel body.  Mirrors the six switch cases of the
     reference hot loops (src/Bayes.cpp:586-816, src/SBayesD.cpp:253-456,
-    src/SBayesS.cpp:277-530) with pre-generated randoms.  ``vei`` is the
-    per-SNP residual variance: the chain's vare for individual-level/dense-LD,
-    varediff*vara + vare for sparse-LD (SBayesS.cpp:285)."""
-    mi = spec.model_index
-    r_local, vargi_acc, vargR_acc = carry
-    j, gidx, wrow, xx, vxj, vei, g_old, z, uu, chi, z2, vargL_old = xs
-    dt = vei.dtype
+    src/SBayesS.cpp:277-530).  ``vei`` is the per-SNP residual variance: the
+    chain's vare for individual-level/dense-LD, varediff*vara + vare for
+    sparse-LD (SBayesS.cpp:285).
 
+    Returns (gi, track, vargL_new, d_vargi, d_vargR).
+    """
+    mi = spec.model_index
+    dt = vei.dtype
     ve = vei
     active = vxj > 0
     guard = spec.reject_guard and mi in (4, 6)
 
-    rhs = r_local[j] + xx * g_old
-    gi = jnp.zeros((), dt)
+    zero = jnp.zeros((), dt)
+    gi = zero
     track = jnp.zeros((), jnp.int32)
     vargL_new = vargL_old
+    d_vargi = zero
+    d_vargR = zero
 
     if mi == 1:  # BayesRR (src/Bayes.cpp:587-605)
         varg = consts["varg"]
@@ -272,7 +279,7 @@ def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
         gi = jnp.where(indist == 1, gi, 0.0)
         track = indist.astype(jnp.int32)
         if mi == 4:
-            vargi_acc = vargi_acc + jnp.where(indist == 1, gi * gi, 0.0)
+            d_vargi = jnp.where(indist == 1, gi * gi, 0.0)
     elif mi == 5:  # BayesL (src/Bayes.cpp:718-742)
         v = xx + 1.0 / vargL_old
         gi = rhs / v + jnp.sqrt(ve / v) * z
@@ -283,33 +290,62 @@ def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
         vargi = 1.0 / ig
         ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
         vargL_new = jnp.where(active & ok, vargi, vargL_old)
-    else:  # BayesR multi-fold mixture (src/Bayes.cpp:743-815)
+    else:  # BayesR multi-fold mixture (src/Bayes.cpp:743-815), unrolled over
+        # the (static) fold count so only scalar ops remain (Pallas-safe)
+        nf = spec.n_fold
         lhs = xx / ve
-        vara_fold = consts["vara_fold"]       # (n_fold,)
-        logdetV = jnp.log(vara_fold * lhs + 1.0)
-        uhat = rhs / (xx + ve / jnp.maximum(vara_fold, 1e-30))
-        s = -0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"]
-        s = s.at[0].set(consts["logpi"][0])
-        # stemp[f] = softmax over folds (reference computes it pairwise)
-        stemp = jax.nn.softmax(s)
-        cum = jnp.cumsum(stemp)
-        hit = uu < cum
-        indist = jnp.where(jnp.any(hit), jnp.argmax(hit), 0).astype(jnp.int32)
+        s = [consts["logpi"][0]]
+        for f in range(1, nf):
+            vf = jnp.maximum(consts["vara_fold"][f], 1e-30)
+            logdetV = jnp.log(vf * lhs + 1.0)
+            uhat = rhs / (xx + ve / vf)
+            s.append(-0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"][f])
+        smax = s[0]
+        for f in range(1, nf):
+            smax = jnp.maximum(smax, s[f])
+        es = [jnp.exp(sf - smax) for sf in s]
+        tot = es[0]
+        for f in range(1, nf):
+            tot = tot + es[f]
+        # first fold whose cumulative softmax exceeds uu (0 if none)
+        indist = jnp.zeros((), jnp.int32)
+        chosen = jnp.zeros((), bool)
+        acc = zero
+        for f in range(nf):
+            acc = acc + es[f] / tot
+            newly = (~chosen) & (uu < acc)
+            indist = jnp.where(newly, f, indist)
+            chosen = chosen | newly
         indist = jnp.where(active, indist, 0)
-        vf = ve / jnp.maximum(vara_fold[indist], 1e-30)
-        v = xx + vf
+        # gather vara_fold[indist] / fold[indist] via unrolled selects
+        vfold = zero
+        ffold = jnp.ones((), dt)
+        for f in range(1, nf):
+            vfold = jnp.where(indist == f, consts["vara_fold"][f], vfold)
+            ffold = jnp.where(indist == f, consts["fold"][f], ffold)
+        v = xx + ve / jnp.maximum(vfold, 1e-30)
         gi = rhs / v + jnp.sqrt(ve / v) * z
         if guard:
             gi = _reject_redraw(spec, consts, gi, rhs / v, jnp.sqrt(ve / v), vxj, gidx)
         gi = jnp.where(indist > 0, gi, 0.0)
         track = indist
-        fold_at = consts["fold"][indist]
-        vargR_acc = vargR_acc + jnp.where(indist > 0, gi * gi / jnp.maximum(fold_at, 1e-30), 0.0)
+        d_vargR = jnp.where(indist > 0, gi * gi / jnp.maximum(ffold, 1e-30), 0.0)
 
     gi = jnp.where(active, gi, 0.0)
-    dg = g_old - gi
-    r_local = r_local + dg * wrow
-    return (r_local, vargi_acc, vargR_acc), (gi, track, vargL_new)
+    return gi, track, vargL_new, d_vargi, d_vargR
+
+
+def _snp_scan_step(spec: GibbsSpec, consts, carry, xs):
+    """XLA-scan wrapper around `snp_draw`: maintains the block-local dot
+    products r_local via the Gram-row axpy."""
+    r_local, vargi_acc, vargR_acc = carry
+    j, gidx, wrow, xx, vxj, vei, g_old, z, uu, chi, z2, vargL_old = xs
+    rhs = r_local[j] + xx * g_old
+    gi, track, vargL_new, d_vargi, d_vargR = snp_draw(
+        spec, consts, rhs, xx, vxj, vei, g_old, z, uu, chi, z2, vargL_old, gidx
+    )
+    r_local = r_local + (g_old - gi) * wrow
+    return (r_local, vargi_acc + d_vargi, vargR_acc + d_vargR), (gi, track, vargL_new)
 
 
 def _inv_gaussian_from(z, u, mu, lam):
@@ -590,27 +626,40 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
         return x.reshape(spec.nblocks, B)
 
     vargL_in = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
-    (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
-        block_body,
-        (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
-        (
-            data.X_blocks,
-            data.W_blocks,
-            rs(data.xpx),
-            rs(data.vx),
-            rs(vei),
-            rs(g),
-            rs(z_snp),
-            rs(u_snp),
-            rs(chi_snp),
-            rs(z2_snp),
-            rs(vargL_in),
-            rs(jnp.arange(m_pad)),
-        ),
-    )
-    g = g_new.reshape(m_pad)
-    track = track.reshape(m_pad)
-    vargL = vargL_new.reshape(m_pad) if state.vargL.size else state.vargL
+
+    from ..ops import blockgibbs
+
+    if spec.use_pallas and blockgibbs.supports(spec, n, dt):
+        interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
+        (g_new, track_new, vargL_new, yadj, u, vargi_acc, vargR_acc) = blockgibbs.sweep(
+            spec, consts, data.X_blocks, data.W_blocks, data.xpx, data.vx, vei,
+            g, z_snp, u_snp, chi_snp, z2_snp, vargL_in, yadj, u, interpret=interp,
+        )
+        g = g_new
+        track = track_new
+        vargL = vargL_new if state.vargL.size else state.vargL
+    else:
+        (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
+            block_body,
+            (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
+            (
+                data.X_blocks,
+                data.W_blocks,
+                rs(data.xpx),
+                rs(data.vx),
+                rs(vei),
+                rs(g),
+                rs(z_snp),
+                rs(u_snp),
+                rs(chi_snp),
+                rs(z2_snp),
+                rs(vargL_in),
+                rs(jnp.arange(m_pad)),
+            ),
+        )
+        g = g_new.reshape(m_pad)
+        track = track.reshape(m_pad)
+        vargL = vargL_new.reshape(m_pad) if state.vargL.size else state.vargL
 
     # --- model-level variance / mixture updates ---
     varg, pi, vara_fold, lambda2 = alphabet_global_updates(
@@ -847,7 +896,11 @@ def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> Cha
     nr = len(spec.nlevels)
     mu0 = jnp.mean(data.y)
     pi = jnp.asarray(pi_init, dt)
-    vara_fold = priors.varg * data.fold if spec.n_fold > 2 or spec.model == "BayesR" else jnp.ones((spec.n_fold,), dt)
+    vara_fold = (
+        jnp.asarray(priors.varg, dt) * data.fold
+        if spec.n_fold > 2 or spec.model == "BayesR"
+        else jnp.ones((spec.n_fold,), dt)
+    )
     need_vargl = spec.model_index == 5
     return ChainState(
         it=jnp.zeros((), jnp.int32),

@@ -286,7 +286,7 @@ def init_s_state(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init) -> 
         vargL=jnp.full((m_pad,), priors.varg, dt) if need_vargl else jnp.zeros((0,), dt),
         lambda2=jnp.asarray(priors.lambda2, dt),
         pi=jnp.asarray(pi_init, dt),
-        vara_fold=priors.varg * data.fold,
+        vara_fold=jnp.asarray(priors.varg, dt) * data.fold,
         vara=jnp.asarray(priors.vara, dt),
         vare=jnp.asarray(priors.vare, dt),
         track=jnp.zeros((m_pad,), jnp.int32),

@@ -1,0 +1,318 @@
+"""Fused Pallas TPU kernel for the blocked-Gibbs SNP sweep (v2).
+
+The insight driving this kernel: in every alphabet member, the only quantity
+that depends on the *sequential* residual state is rhs = dot(X_j, yadj) —
+everything else (per-SNP variances, conditional sds, spike/slab thresholds)
+depends only on per-SNP inputs known before the sweep.  So:
+
+  phase A (outside, vectorized XLA over all m):  per-SNP coefficients
+     - conditional precision v_j, inv_v_j, sd_j*z_j
+     - spike/slab acceptance rewritten EXP-FREE:
+         u >= 1/(1+exp(s1-s0))  <=>  rhs^2 >= thresh_j,
+         thresh_j = 2 v_j ve_j (log((1-u_j)/u_j) + 0.5 logdetV_j - dlogpi)
+       (algebraic identity of src/Bayes.cpp:643-645)
+     - BayesR fold coefficients s_f = A_f + B_f rhs^2
+  phase B (this kernel, grid sequential over blocks):
+     r0 = yadj @ X_b (MXU);  tiny scalar loop over B:
+         rhs -> component select -> gi -> r_local += dg W_b[j,:]
+     then yadj/u update via one MXU matmul per block
+  phase C (outside, vectorized): BayesL local variances (they feed only the
+     *next* sweep), variance accumulators, g_new = g_old - dg.
+
+Per sequential step only ~6 scalar flops + two masked lane reduces + one
+(1,B) axpy remain — no transcendentals for RR/A/B/C/L; BayesR pays
+(n_fold-1) exps.  Scalar operands are packed into one (R,B) tile so a single
+masked reduce extracts all of them at once.
+
+The XLA scan path (engine/gibbs.py) remains the reference implementation;
+tests/test_pallas_kernel.py checks both produce the same chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..engine.gibbs import GibbsSpec
+
+F32 = jnp.float32
+NEG_BIG = -1e30
+POS_BIG = 1e30
+
+
+def _pack_rows(spec: GibbsSpec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp):
+    """Phase A: per-SNP coefficient rows, shape (R, m_pad).  Row order:
+    [rg, g_old, inv_v, sz, (thresh | per-fold A/B/inv_v/sz..., u)]"""
+    mi = spec.model_index
+    dt = F32
+    x = xpx.astype(dt)
+    ve = vei.astype(dt)
+    act = vx > 0
+    g = g.astype(dt)
+    rg = x * g
+    s2varg_df = consts["s2varg_df"].astype(dt)
+
+    def cond_coeffs(varg):
+        v = x + ve / varg
+        inv_v = jnp.where(act, 1.0 / v, 0.0)
+        sz = jnp.where(act, jnp.sqrt(ve / v) * z_snp.astype(dt), 0.0)
+        return v, inv_v, sz
+
+    if mi == 1:
+        v, inv_v, sz = cond_coeffs(consts["varg"].astype(dt))
+        rows = [rg, g, inv_v, sz]
+    elif mi == 2:
+        vargj = (g * g + s2varg_df) / chi_snp.astype(dt)
+        v, inv_v, sz = cond_coeffs(vargj)
+        rows = [rg, g, inv_v, sz]
+    elif mi in (3, 4):
+        vargj = (
+            (g * g + s2varg_df) / chi_snp.astype(dt)
+            if mi == 3
+            else consts["varg"].astype(dt)
+        )
+        v, inv_v, sz = cond_coeffs(vargj)
+        logdetV = jnp.log(vargj * x / ve + 1.0)
+        uu = u_snp.astype(dt)
+        Lu = jnp.log((1.0 - uu) / jnp.maximum(uu, 1e-37))
+        dlogpi = consts["logpi"][1] - consts["logpi"][0]
+        thresh = 2.0 * v * ve * (Lu + 0.5 * logdetV - dlogpi)
+        thresh = jnp.where(act, thresh, POS_BIG)
+        rows = [rg, g, inv_v, sz, thresh]
+    elif mi == 5:
+        vargL = consts["vargL_vec"].astype(dt)
+        v = x + 1.0 / vargL
+        inv_v = jnp.where(act, 1.0 / v, 0.0)
+        sz = jnp.where(act, jnp.sqrt(ve / v) * z_snp.astype(dt), 0.0)
+        rows = [rg, g, inv_v, sz]
+    else:  # BayesR
+        rows = [rg, g]
+        for f in range(1, spec.n_fold):
+            vara_f = jnp.maximum(consts["vara_fold"][f], 1e-30).astype(dt)
+            vf = x + ve / vara_f
+            A_f = -0.5 * jnp.log(vara_f * x / ve + 1.0) + consts["logpi"][f]
+            A_f = jnp.where(act, A_f, NEG_BIG)
+            B_f = 0.5 / (vf * ve)
+            ivf = jnp.where(act, 1.0 / vf, 0.0)
+            szf = jnp.where(act, jnp.sqrt(ve / vf) * z_snp.astype(dt), 0.0)
+            rows += [A_f, B_f, ivf, szf]
+        rows.append(u_snp.astype(dt))
+    return jnp.stack(rows).astype(dt)  # (R, m_pad)
+
+
+def _kernel(spec: GibbsSpec, n: int, B: int, R: int,
+            scal_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
+            dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+            yadj_s, u_s, r_local, dg_s, track_s):
+    mi = spec.model_index
+    b = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        yadj_s[:] = yadj_in_ref[:]
+        u_s[:] = u_in_ref[:]
+
+    Xb = X_ref[0]        # (n, B)
+    P = P_ref[0]         # (R, B)
+
+    r_local[:] = jax.lax.dot_general(
+        yadj_s[:], Xb, (((1,), (0,)), ((), ())), preferred_element_type=F32
+    )
+    dg_s[:] = jnp.zeros((1, B), F32)
+    track_s[:] = jnp.zeros((1, B), F32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    nf = spec.n_fold
+    logpi0 = scal_ref[0]
+
+    def body(j, _):
+        mask = lane == j
+        vals = jnp.sum(jnp.where(mask, P, 0.0), axis=1)  # (R,)
+        rj = jnp.sum(jnp.where(mask, r_local[:], 0.0))
+        rg_j = vals[0]
+        g_old = vals[1]
+        rhs = rj + rg_j
+
+        if mi in (1, 2):
+            gi = rhs * vals[2] + vals[3]
+            track = jnp.float32(0.0)
+        elif mi in (3, 4):
+            ind = rhs * rhs >= vals[4]
+            gi = jnp.where(ind, rhs * vals[2] + vals[3], 0.0)
+            track = ind.astype(F32)
+        elif mi == 5:
+            gi = rhs * vals[2] + vals[3]
+            gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
+            # inactive SNPs have inv_v == sz == 0 -> gi would clamp to 1e-6;
+            # force 0 so padding columns stay untouched
+            gi = jnp.where(vals[2] > 0, gi, 0.0)
+            track = jnp.float32(0.0)
+        else:  # BayesR
+            q = rhs * rhs
+            s = [logpi0]
+            for f in range(1, nf):
+                A_f = vals[2 + 4 * (f - 1)]
+                B_f = vals[3 + 4 * (f - 1)]
+                s.append(A_f + B_f * q)
+            smax = s[0]
+            for f in range(1, nf):
+                smax = jnp.maximum(smax, s[f])
+            es = [jnp.exp(sf - smax) for sf in s]
+            tot = es[0]
+            for f in range(1, nf):
+                tot = tot + es[f]
+            uu = vals[2 + 4 * (nf - 1)]
+            ind = jnp.zeros((), jnp.int32)
+            chosen = jnp.zeros((), bool)
+            acc = jnp.float32(0.0)
+            for f in range(nf):
+                acc = acc + es[f] / tot
+                newly = (~chosen) & (uu < acc)
+                ind = jnp.where(newly, f, ind)
+                chosen = chosen | newly
+            ivf = jnp.float32(0.0)
+            szf = jnp.float32(0.0)
+            for f in range(1, nf):
+                sel = ind == f
+                ivf = jnp.where(sel, vals[4 + 4 * (f - 1)], ivf)
+                szf = jnp.where(sel, vals[5 + 4 * (f - 1)], szf)
+            gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
+            track = ind.astype(F32)
+
+        dg = g_old - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        track_s[:] = jnp.where(mask, track, track_s[:])
+        wrow = W_ref[0, pl.ds(j, 1), :]
+        r_local[:] = r_local[:] + dg * wrow
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    delta = jax.lax.dot_general(
+        dg_s[:], Xb, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    )
+    yadj_s[:] = yadj_s[:] + delta
+    u_s[:] = u_s[:] - delta
+
+    @pl.when(b == nblocks - 1)
+    def _():
+        yadj_out_ref[:] = yadj_s[:]
+        u_out_ref[:] = u_s[:]
+
+
+def supports(spec: GibbsSpec, n: int, dtype) -> bool:
+    if dtype != jnp.float32:
+        return False
+    if spec.reject_guard:
+        return False
+    vmem = n * spec.block * 4 * 2 + spec.block * spec.block * 4 * 2 + n * 4 * 4
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
+          z_snp, u_snp, chi_snp, z2_snp, vargL, yadj, u, interpret=False):
+    """Run one full SNP sweep.  Returns (g_new, track, vargL_new, yadj, u,
+    vargi_acc, vargR_acc) with identical semantics to the XLA scan path."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    mi = spec.model_index
+    dt = F32
+
+    consts = dict(consts)
+    consts["vargL_vec"] = vargL
+    P = _pack_rows(spec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp)
+    R = P.shape[0]
+    P_blocks = P.reshape(R, nblocks, B).transpose(1, 0, 2)  # (nblocks, R, B)
+
+    scal = jnp.stack([consts["logpi"][0].astype(dt)])
+
+    kern = functools.partial(_kernel, spec, n, B, R)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nblocks, 1, B), F32),   # dg
+        jax.ShapeDtypeStruct((nblocks, 1, B), F32),   # track
+        jax.ShapeDtypeStruct((1, n), F32),            # yadj
+        jax.ShapeDtypeStruct((1, n), F32),            # u
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                                   # scal
+            pl.BlockSpec((1, R, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),   # P
+            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),   # X
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),   # W
+            full((1, n)),
+            full((1, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((1, n)),
+            full((1, n)),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1, n), F32),    # yadj_s
+            pltpu.VMEM((1, n), F32),    # u_s
+            pltpu.VMEM((1, B), F32),    # r_local
+            pltpu.VMEM((1, B), F32),    # dg_s
+            pltpu.VMEM((1, B), F32),    # track_s
+        ],
+        interpret=interpret,
+    )(
+        scal, P_blocks, X_blocks.astype(F32), W_blocks.astype(F32),
+        yadj.astype(F32).reshape(1, n), u.astype(F32).reshape(1, n),
+    )
+
+    dg = dg.reshape(m_pad)
+    track = track_f.reshape(m_pad).astype(jnp.int32)
+    g_new = g.astype(F32) - dg
+
+    # phase C: vectorized post-sweep state (order-independent reductions)
+    act = vx > 0
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g_new * g_new, 0.0))
+    else:
+        vargi_acc = jnp.zeros((), dt)
+    if mi == 6:
+        ffold = consts["fold"][track]
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g_new * g_new / jnp.maximum(ffold, 1e-30), 0.0)
+        )
+    else:
+        vargR_acc = jnp.zeros((), dt)
+    if mi == 5:
+        # local shrinkage update feeds only the next sweep (src/Bayes.cpp:729)
+        lam2 = consts["lambda2"].astype(dt)
+        lam = jnp.sqrt(lam2)
+        ve = vei.astype(dt)
+        znew = z2_snp.astype(dt)
+        uu = u_snp.astype(dt)
+        mu_ig = jnp.sqrt(ve) * lam / jnp.maximum(jnp.abs(g_new), 1e-30)
+        y2 = znew * znew
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(uu <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL_new = jnp.where(act & ok, vargi, vargL.astype(dt))
+    else:
+        vargL_new = vargL.astype(dt)
+
+    return (
+        g_new, track, vargL_new,
+        yadj_o.reshape(n), u_o.reshape(n),
+        vargi_acc, vargR_acc,
+    )
