@@ -234,11 +234,16 @@ def _assemble_results(
     alpha_s = s["alpha"]  # (records, m)
 
     # BSLMM: map the posterior-mean polygenic effect into SNP space and fold
-    # it into every alpha sample (reference src/Bayes.cpp:955-969)
+    # it into every alpha sample (reference src/Bayes.cpp:955-969).  The
+    # reference divides by the raw GRM eigenvalues, which explodes on
+    # near-null modes; we use the pseudo-inverse (clamp tiny eigenvalues),
+    # preserving the mapping on the GRM's column space.
     if method == "BSLMM" and "k_estR" in s:
         k_mean = s["k_estR"].mean(axis=0)
-        Kv = np.asarray(Kval)
-        Kg = (np.asarray(K).T @ k_mean) / Kv / sumvx
+        Kv = np.asarray(Kval, dtype=np.float64)
+        cutoff = 1e-6 * Kv.max()
+        inv_Kv = np.where(Kv > cutoff, 1.0 / np.maximum(Kv, cutoff), 0.0)
+        Kg = (np.asarray(K).T @ k_mean) * inv_Kv / sumvx
         ghat = M_phen.T @ (np.asarray(K) @ Kg)
         ghat = ghat - ghat.mean()
         alpha_s = alpha_s + ghat[None, :]
