@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -972,25 +973,138 @@ def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
     return state, samples
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_burn_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state):
+    step = lambda s: one_iteration(spec, data, base_key, s)
+    return jax.lax.fori_loop(0, k, lambda i, s: step(s), state)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state):
+    step = lambda s: one_iteration(spec, data, base_key, s)
+
+    def record_body(state, _):
+        state = jax.lax.fori_loop(0, spec.thin, lambda i, s: step(s), state)
+        return state, _snapshot(spec, state)
+
+    return jax.lax.scan(record_body, state, None, length=k)
+
+
+def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
+                   verbose):
+    """Chunked execution with checkpointing + reference-style progress rows
+    (iter / NnzSnp / pi / Vg / Ve / h2 / time left — src/Bayes.cpp:884-914)."""
+    import time as _time
+
+    from .checkpoint import load_checkpoint, save_checkpoint
+
+    state = state0
+    samples_parts = []
+    n_done_records = 0
+    if checkpoint_path:
+        loaded = load_checkpoint(checkpoint_path, state0)
+        if loaded is not None:
+            state, prev = loaded
+            if prev:
+                samples_parts.append(prev)
+                n_done_records = next(iter(prev.values())).shape[0]
+            if verbose:
+                print(f"resumed from iteration {int(state.it)} "
+                      f"({n_done_records} records collected)")
+
+    t0 = _time.time()
+    total_iters = spec.niter_eff
+
+    def eta(it_done):
+        if it_done <= 0:
+            return "--"
+        rate = (_time.time() - t0) / it_done
+        sec = int(rate * (total_iters - int(state.it)))
+        return f"{sec // 3600:02d}h{sec % 3600 // 60:02d}m{sec % 60:02d}s"
+
+    it_at_start = int(state.it)
+    # finish burn-in in chunks
+    burn_chunk = max(chunk_records * spec.thin, 1)
+    while int(state.it) < spec.nburn:
+        k = min(burn_chunk, spec.nburn - int(state.it))
+        state = jax.block_until_ready(
+            _run_burn_segment(spec, k, data, base_key, state)
+        )
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
+        if verbose:
+            _print_progress(spec, state, eta(int(state.it) - it_at_start))
+    # record phase in chunks
+    while n_done_records < spec.n_records:
+        k = min(chunk_records, spec.n_records - n_done_records)
+        state, chunk = _run_record_segment(spec, k, data, base_key, state)
+        state, chunk = jax.block_until_ready((state, chunk))
+        samples_parts.append({kk: np.asarray(v) for kk, v in chunk.items()})
+        n_done_records += k
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
+        if verbose:
+            _print_progress(spec, state, eta(int(state.it) - it_at_start))
+    return state, _concat_samples(samples_parts)
+
+
+def _concat_samples(parts):
+    if not parts:
+        return {}
+    keys = parts[0].keys()
+    return {k: np.concatenate([p[k] for p in parts], axis=0) for k in keys}
+
+
+def _print_progress(spec, state, eta_str):
+    nnz = int(np.sum((np.asarray(state.track) > 0)))
+    if spec.model_index in (1, 2, 5):
+        nnz = spec.m - spec.nvar0
+    pi_str = " ".join(f"{p:.4f}" for p in np.asarray(state.pi))
+    vt = float(state.vara) + float(state.vare)
+    print(
+        f" {int(state.it):>6d}  {nnz:>6d}  {pi_str}  "
+        f"Vg {float(state.vara):.4f}  Ve {float(state.vare):.4f}  "
+        f"h2 {float(state.vara) / max(vt, 1e-30):.4f}  {eta_str}"
+    )
+
+
 def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=666666,
-              mesh=None):
+              mesh=None, checkpoint_path=None, chunk_records=0, progress=False):
     """Run the full chain; returns (final_state, samples dict, summaries dict).
 
     samples arrays have leading axis n_records; alpha is sliced to the real m.
     With `mesh`, the individual axis is sharded across devices (exact chain,
-    psum-merged contractions over ICI).
+    psum-merged contractions over ICI).  With `checkpoint_path` or `progress`,
+    execution is chunked (`chunk_records` records per device call): state +
+    collected samples are persisted after each chunk and a killed chain
+    resumes bit-identically (randomness is keyed off the iteration counter).
     """
     base_key = jax.random.PRNGKey(seed)
+    segmented = checkpoint_path is not None or progress
+    if chunk_records <= 0:
+        chunk_records = max(spec.n_records // 10, 1)
     if mesh is not None:
         from ..parallel.mesh import shard_gibbs_data, shard_state
 
         data = shard_gibbs_data(data, mesh)
         state0 = shard_state(init_state(spec, data, priors, pi_init), mesh)
         with mesh:
-            state, samples = _run_all(spec, data, base_key, state0)
+            if segmented:
+                state, samples = _run_segmented(
+                    spec, data, base_key, state0, checkpoint_path, chunk_records,
+                    progress,
+                )
+            else:
+                state, samples = _run_all(spec, data, base_key, state0)
     else:
         state0 = init_state(spec, data, priors, pi_init)
-        state, samples = _run_all(spec, data, base_key, state0)
+        if segmented:
+            state, samples = _run_segmented(
+                spec, data, base_key, state0, checkpoint_path, chunk_records,
+                progress,
+            )
+        else:
+            state, samples = _run_all(spec, data, base_key, state0)
     state, samples = jax.block_until_ready((state, samples))
 
     nzct = spec.n_records * spec.thin

@@ -124,6 +124,8 @@ def ibrm(
     verbose=True,
     block=64,
     dtype=jnp.float32,
+    checkpoint=None,
+    progress=False,
 ) -> BlrMod:
     if method not in METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {METHODS}")
@@ -191,7 +193,9 @@ def ibrm(
     if verbose:
         _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw)
     t0 = time.time()
-    state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed)
+    state, samples, extras = G.run_chain(
+        spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint, progress=progress
+    )
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s "
