@@ -24,10 +24,11 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
 
     dtype = dtype or jnp.float32
     rng = np.random.default_rng(0)
-    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.float32)
-    y = (M @ rng.normal(0, 0.05, m) + rng.normal(0, 1, n)).astype(np.float32)
+    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
+    y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
+         + rng.normal(0, 1, n)).astype(np.float32)
     pi = np.array([0.95, 0.05])
-    data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype)
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype, geno_dtype="int8")
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
 
     spec = G.GibbsSpec(
@@ -74,7 +75,7 @@ def measure_reference_emulation(n, m, iters=3):
 
 def main():
     n = int(os.environ.get("BENCH_N", 4096))
-    m = int(os.environ.get("BENCH_M", 16384))
+    m = int(os.environ.get("BENCH_M", 65536))
     block = int(os.environ.get("BENCH_BLOCK", 128))
     niter = int(os.environ.get("BENCH_ITERS", 200))
 

@@ -611,6 +611,7 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     def block_body(carry, xs):
         yadj, u, vargi_acc, vargR_acc = carry
         Xb, Wb, xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb, gidx_b = xs
+        Xb = Xb.astype(dt)  # int8 storage -> f32 compute
         r0 = jnp.matmul(Xb.T, yadj, precision=HIGHEST)
         (r_fin, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
             partial(_snp_scan_step, spec, consts),
@@ -630,7 +631,9 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
 
     from ..ops import blockgibbs
 
-    if spec.use_pallas and blockgibbs.supports(spec, n, dt):
+    if spec.use_pallas and blockgibbs.supports(
+        spec, n, dt, geno_itemsize=data.X_blocks.dtype.itemsize
+    ):
         interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
         (g_new, track_new, vargL_new, yadj, u, vargi_acc, vargR_acc) = blockgibbs.sweep(
             spec, consts, data.X_blocks, data.W_blocks, data.xpx, data.vx, vei,
@@ -698,7 +701,8 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
             for i in range(nr):
                 pred = pred + estR[i][data.r_codes[i]]
             Xg = jnp.einsum(
-                "bnk,bk->n", data.X_blocks, g.reshape(spec.nblocks, B), precision=HIGHEST
+                "bnk,bk->n", data.X_blocks.astype(dt),
+                g.reshape(spec.nblocks, B), precision=HIGHEST,
             )
             u_new = Xg
             pred = pred + Xg
@@ -816,26 +820,53 @@ def pad_to_block(m: int, block: int) -> int:
 def prepare_gibbs_data(
     y, M, *, C=None, r_codes=(), r_nlevels=(), fold=None, windindx=None, nw=0,
     K=None, Kval=None, epsl_yJ=None, epsl_A=None, epsl_codes=None, qe=0,
-    block=64, dtype=jnp.float32,
+    block=64, dtype=jnp.float32, geno_dtype=None,
 ):
-    """Build the device-resident GibbsData (block layout, Gram matrices, stats)."""
+    """Build the device-resident GibbsData (block layout, Gram matrices, stats).
+
+    geno_dtype="int8" keeps the genotype HBM-resident as int8 (4x capacity
+    and sweep bandwidth vs f32); the Gram matrices are built with exact int32
+    MXU accumulation (entries <= 4n < 2^24 stay exact in f32) and the kernels
+    cast blocks to f32 in VMEM.
+    """
     y = jnp.asarray(y, dtype)
     n = int(y.shape[0])
-    M = jnp.asarray(M, dtype)
-    m = int(M.shape[1])
+    use_int8 = geno_dtype in ("int8", jnp.int8, np.int8)
+    M_np = np.asarray(M)
+    m = int(M_np.shape[1])
     block = int(min(block, pad_to_block(m, 8)))
     m_pad = pad_to_block(m, block)
-    if m_pad != m:
-        M = jnp.pad(M, ((0, 0), (0, m_pad - m)))
     nblocks = m_pad // block
 
-    xpx = jnp.sum(M * M, axis=0)
-    vx = jnp.var(M, axis=0, ddof=1)
+    if use_int8:
+        if not np.issubdtype(M_np.dtype, np.integer):
+            if not np.all(M_np == np.round(M_np)):
+                raise ValueError("geno_dtype='int8' requires integer genotype codes")
+        Mi = np.zeros((n, m_pad), dtype=np.int8)
+        Mi[:, :m] = M_np.astype(np.int8)
+        X_blocks = jnp.asarray(Mi.reshape(n, nblocks, block).transpose(1, 0, 2))
+        # exact integer Gram on the MXU, cast to f32 (exact below 2^24)
+        W_i32 = jax.lax.dot_general(
+            X_blocks, X_blocks,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        W_blocks = W_i32.astype(dtype)
+        s1 = Mi.astype(np.int64).sum(axis=0)
+        s2 = (Mi.astype(np.int64) ** 2).sum(axis=0)
+        xpx = jnp.asarray(s2, dtype)
+        vx_np = (s2 - s1 * s1 / n) / (n - 1)
+        vx = jnp.asarray(vx_np, dtype)
+    else:
+        M_j = jnp.asarray(M_np, dtype)
+        if m_pad != m:
+            M_j = jnp.pad(M_j, ((0, 0), (0, m_pad - m)))
+        X_blocks = M_j.reshape(n, nblocks, block).transpose(1, 0, 2)
+        W_blocks = jnp.einsum("bnk,bnl->bkl", X_blocks, X_blocks, precision=HIGHEST)
+        xpx = jnp.sum(M_j * M_j, axis=0)
+        vx = jnp.var(M_j, axis=0, ddof=1)
     real = jnp.arange(m_pad) < m
     vx = jnp.where(real, vx, 0.0)
-
-    X_blocks = M.reshape(n, nblocks, block).transpose(1, 0, 2)
-    W_blocks = jnp.einsum("bnk,bnl->bkl", X_blocks, X_blocks, precision=HIGHEST)
 
     if C is None:
         C = jnp.zeros((n, 0), dtype)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -169,10 +170,12 @@ def ibrm(
     nlevels = tuple(int(len(lv)) for lv in mf.R_levels)
     n_fold = len(Pi)
 
+    # integer genotypes stay int8 in HBM (4x capacity/bandwidth)
+    geno_dtype = "int8" if np.issubdtype(np.asarray(M_phen).dtype, np.integer) else None
     gdata = G.prepare_gibbs_data(
         y, M_phen, C=mf.X, r_codes=tuple(mf.R_codes), r_nlevels=nlevels,
         fold=fold, windindx=windindx, nw=nw, K=K, Kval=Kval,
-        block=block, dtype=dtype,
+        block=block, dtype=dtype, geno_dtype=geno_dtype,
     )
     vx = np.asarray(gdata.vx)
     nvar0 = int((vx[:m] == 0).sum())
@@ -188,6 +191,7 @@ def ibrm(
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
         dfr=pr.dfr, s2r=pr.s2r, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
         use_bslmm=use_bslmm,
+        use_pallas=dtype == jnp.float32 and jax.default_backend() != "cpu",
     )
 
     if verbose:

@@ -117,8 +117,8 @@ def _kernel(spec: GibbsSpec, n: int, B: int, R: int,
         yadj_s[:] = yadj_in_ref[:]
         u_s[:] = u_in_ref[:]
 
-    Xb = X_ref[0]        # (n, B)
-    P = P_ref[0]         # (R, B)
+    Xb = X_ref[0].astype(F32)   # (n, B); int8 storage casts in VMEM
+    P = P_ref[0]                # (R, B)
 
     r_local[:] = jax.lax.dot_general(
         yadj_s[:], Xb, (((1,), (0,)), ((), ())), preferred_element_type=F32
@@ -208,12 +208,18 @@ def _kernel(spec: GibbsSpec, n: int, B: int, R: int,
         u_out_ref[:] = u_s[:]
 
 
-def supports(spec: GibbsSpec, n: int, dtype) -> bool:
+def supports(spec: GibbsSpec, n: int, dtype, geno_itemsize: int = 4) -> bool:
     if dtype != jnp.float32:
         return False
     if spec.reject_guard:
         return False
-    vmem = n * spec.block * 4 * 2 + spec.block * spec.block * 4 * 2 + n * 4 * 4
+    # double-buffered X block (+ f32 cast temp) + W + yadj/u rows
+    vmem = (
+        n * spec.block * geno_itemsize * 2
+        + n * spec.block * 4
+        + spec.block * spec.block * 4 * 2
+        + n * 4 * 4
+    )
     return vmem < 12 * 1024 * 1024
 
 
@@ -271,7 +277,7 @@ def sweep(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
         ],
         interpret=interpret,
     )(
-        scal, P_blocks, X_blocks.astype(F32), W_blocks.astype(F32),
+        scal, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj.astype(F32).reshape(1, n), u.astype(F32).reshape(1, n),
     )
 
