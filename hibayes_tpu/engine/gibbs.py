@@ -1151,3 +1151,79 @@ def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=66
     samples["alpha"] = samples["alpha"][:, : spec.m]
     extras = {"pip": pip[: spec.m], "wppa": wppa, "nzct": nzct}
     return state, samples, extras
+
+
+# ---------------------------------------------------------------------------
+# multi-chain execution
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _run_all_multi(spec: GibbsSpec, data: GibbsData, chain_keys, states):
+    """K independent chains batched with vmap: the per-block matvecs become
+    (K,n)x(n,B) matmuls (MXU M=K instead of 1) and every draw vectorises
+    across chains.  The reference runs a single chain only."""
+
+    def run_one(key, state):
+        return _run_all(spec, data, key, state)
+
+    return jax.vmap(run_one, in_axes=(0, 0))(chain_keys, states)
+
+
+def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
+               seed=666666, nchains=4, mesh=None):
+    """Run `nchains` independent chains (distinct PRNG streams, identical
+    data/priors).  Returns (states, samples, extras) where samples arrays
+    have leading axes (nchains, n_records, ...), plus per-parameter R-hat
+    (Gelman-Rubin) diagnostics in extras."""
+    base = jax.random.PRNGKey(seed)
+    chain_keys = jax.random.split(base, nchains)
+    state0 = init_state(spec, data, priors, pi_init)
+    states0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (nchains,) + x.shape), state0
+    )
+    if mesh is not None:
+        from ..parallel.mesh import shard_gibbs_data
+
+        data = shard_gibbs_data(data, mesh)
+        with mesh:
+            states, samples = _run_all_multi(spec, data, chain_keys, states0)
+    else:
+        states, samples = _run_all_multi(spec, data, chain_keys, states0)
+    states, samples = jax.block_until_ready((states, samples))
+
+    nzct = spec.n_records * spec.thin
+    pip = states.nzrate / nzct  # (nchains, m_pad)
+    pip = jnp.where(pip >= 1.0, (nzct - 1.0) / nzct, pip)
+    if spec.model_index in (1, 2, 5):
+        pip = jnp.ones_like(pip)
+    wppa = states.wppa / nzct
+    wppa = jnp.where(wppa >= 1.0, (nzct - 1.0) / nzct, wppa)
+
+    samples = dict(samples)
+    samples["alpha"] = samples["alpha"][:, :, : spec.m]
+    extras = {
+        "pip": np.asarray(pip[:, : spec.m]).mean(axis=0),
+        "wppa": np.asarray(wppa).mean(axis=0),
+        "nzct": nzct,
+        "rhat": {k: gelman_rubin(np.asarray(v)) for k, v in samples.items()
+                 if np.asarray(v).ndim == 2},
+    }
+    return states, samples, extras
+
+
+def gelman_rubin(chains: np.ndarray) -> float:
+    """Split-R-hat over (nchains, n_records) scalar samples."""
+    x = np.asarray(chains, dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] < 4:
+        return float("nan")
+    half = x.shape[1] // 2
+    splits = np.concatenate([x[:, :half], x[:, half: 2 * half]], axis=0)
+    k, n_ = splits.shape
+    means = splits.mean(axis=1)
+    w = splits.var(axis=1, ddof=1).mean()
+    b = n_ * means.var(ddof=1)
+    if w <= 0:
+        return float("nan")
+    var_plus = (n_ - 1) / n_ * w + b / n_
+    return float(np.sqrt(var_plus / w))

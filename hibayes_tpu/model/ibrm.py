@@ -127,6 +127,7 @@ def ibrm(
     dtype=jnp.float32,
     checkpoint=None,
     progress=False,
+    nchains=1,
 ) -> BlrMod:
     if method not in METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {METHODS}")
@@ -197,19 +198,33 @@ def ibrm(
     if verbose:
         _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw)
     t0 = time.time()
-    state, samples, extras = G.run_chain(
-        spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint, progress=progress
-    )
+    rhat = None
+    if nchains > 1:
+        state, samples, extras = G.run_chains(
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains
+        )
+        rhat = extras.get("rhat")
+        # flatten (nchains, records, ...) -> (nchains*records, ...) for summaries
+        samples = {
+            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            for k, v in samples.items()
+        }
+    else:
+        state, samples, extras = G.run_chain(
+            spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint, progress=progress
+        )
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s "
               f"({spec.niter_eff * m / max(elapsed, 1e-9):.3g} SNP-updates/s)")
 
-    return _assemble_results(
+    res = _assemble_results(
         method, formula, spec, samples, extras, mf, y, M_id, keep,
         M_phen, Mp, windinfo, K=K, Kval=Kval, sumvx=float(vx.sum()),
         model_desc=f"Individual level Bayesian model fit by [{method}]",
     )
+    res.rhat = rhat
+    return res
 
 
 def _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw):

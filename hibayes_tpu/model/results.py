@@ -41,6 +41,7 @@ class BlrMod:
     epsilon: dict | None = None
     Va: float | None = None
     Vb: float | None = None
+    rhat: dict | None = None  # multi-chain Gelman-Rubin diagnostics
     MCMCsamples: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
