@@ -471,10 +471,39 @@ def blocked_mme_gibbs(A, diagA, x, b, ve, z, block):
 
 
 def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
+    """One full MCMC iteration = pre-sweep effects + SNP sweep + global
+    updates.  Split into three phases so multi-chain execution can vmap the
+    cheap phases and hand the sweep to a batched kernel."""
+    key = jax.random.fold_in(base_key, state.it)
+    pre = _pre_sweep(spec, data, key, state)
+
+    from ..ops import blockgibbs
+
+    dt = data.y.dtype
+    if spec.use_pallas and blockgibbs.supports(
+        spec, spec.n, dt, geno_itemsize=data.X_blocks.dtype.itemsize
+    ):
+        interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
+        sweep_out = blockgibbs.sweep(
+            spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+            data.vx, pre["vei"], state.g, *pre["rnd"], pre["vargL_in"],
+            pre["yadj"], pre["u"], interpret=interp,
+        )
+    else:
+        sweep_out = _sweep_xla(
+            spec, data, pre["consts"], pre["rnd"], pre["vei"], state.g,
+            pre["vargL_in"], pre["yadj"], pre["u"],
+        )
+    return _post_sweep(spec, data, key, state, pre, sweep_out)
+
+
+def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
+    """Intercept, covariates, environmental random effects, BSLMM polygenic
+    block, single-step epsilon term; also prepares the sweep constants and
+    pre-generated randoms."""
     dt = data.y.dtype
     n = spec.n
     nr = len(spec.nlevels)
-    key = jax.random.fold_in(base_key, state.it)
 
     mu, beta, yadj, u, g = state.mu, state.beta, state.yadj, state.u, state.g
     ve = state.vare
@@ -607,6 +636,25 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
         "reject_key": jax.random.fold_in(key, 99),
     }
     vei = jnp.full((m_pad,), ve, dt)
+    vargL_in = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
+
+    return {
+        "mu": mu, "beta": beta, "estR": estR, "vrtmp": vrtmp, "vr": vr,
+        "yadj": yadj, "u": u,
+        "k_estR": k_estR, "vbtmp": vbtmp, "va": va, "vb": vb,
+        "J_beta": J_beta, "epsl_estR": epsl_estR, "vepstmp": vepstmp,
+        "veps": veps,
+        "consts": consts, "vei": vei, "vargL_in": vargL_in,
+        "rnd": (z_snp, u_snp, chi_snp, z2_snp),
+    }
+
+
+def _sweep_xla(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g, vargL_in,
+               yadj, u):
+    """Reference XLA lax.scan sweep (exact; supports every configuration)."""
+    dt = yadj.dtype
+    m_pad, B = spec.m_pad, spec.block
+    z_snp, u_snp, chi_snp, z2_snp = rnd
 
     def block_body(carry, xs):
         yadj, u, vargi_acc, vargR_acc = carry
@@ -627,43 +675,52 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     def rs(x):
         return x.reshape(spec.nblocks, B)
 
-    vargL_in = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
+    (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
+        block_body,
+        (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
+        (
+            data.X_blocks,
+            data.W_blocks,
+            rs(data.xpx),
+            rs(data.vx),
+            rs(vei),
+            rs(g),
+            rs(z_snp),
+            rs(u_snp),
+            rs(chi_snp),
+            rs(z2_snp),
+            rs(vargL_in),
+            rs(jnp.arange(m_pad)),
+        ),
+    )
+    return (
+        g_new.reshape(m_pad),
+        track.reshape(m_pad),
+        vargL_new.reshape(m_pad),
+        yadj,
+        u,
+        vargi_acc,
+        vargR_acc,
+    )
 
-    from ..ops import blockgibbs
 
-    if spec.use_pallas and blockgibbs.supports(
-        spec, n, dt, geno_itemsize=data.X_blocks.dtype.itemsize
-    ):
-        interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
-        (g_new, track_new, vargL_new, yadj, u, vargi_acc, vargR_acc) = blockgibbs.sweep(
-            spec, consts, data.X_blocks, data.W_blocks, data.xpx, data.vx, vei,
-            g, z_snp, u_snp, chi_snp, z2_snp, vargL_in, yadj, u, interpret=interp,
-        )
-        g = g_new
-        track = track_new
-        vargL = vargL_new if state.vargL.size else state.vargL
-    else:
-        (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
-            block_body,
-            (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
-            (
-                data.X_blocks,
-                data.W_blocks,
-                rs(data.xpx),
-                rs(data.vx),
-                rs(vei),
-                rs(g),
-                rs(z_snp),
-                rs(u_snp),
-                rs(chi_snp),
-                rs(z2_snp),
-                rs(vargL_in),
-                rs(jnp.arange(m_pad)),
-            ),
-        )
-        g = g_new.reshape(m_pad)
-        track = track.reshape(m_pad)
-        vargL = vargL_new.reshape(m_pad) if state.vargL.size else state.vargL
+def _post_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState, pre,
+                sweep_out) -> ChainState:
+    """Model-level variance / mixture updates, Vg/Ve draws, PIP/WPPA
+    counters, drift resync, state assembly."""
+    dt = data.y.dtype
+    n = spec.n
+    nr = len(spec.nlevels)
+    B = spec.block
+    g, track, vargL_new, yadj, u, vargi_acc, vargR_acc = sweep_out
+    vargL = vargL_new if state.vargL.size else state.vargL
+    mu, beta, estR, vrtmp, vr = (
+        pre["mu"], pre["beta"], pre["estR"], pre["vrtmp"], pre["vr"],
+    )
+    k_estR, vbtmp, va, vb = pre["k_estR"], pre["vbtmp"], pre["va"], pre["vb"]
+    J_beta, epsl_estR, vepstmp, veps = (
+        pre["J_beta"], pre["epsl_estR"], pre["vepstmp"], pre["veps"],
+    )
 
     # --- model-level variance / mixture updates ---
     varg, pi, vara_fold, lambda2 = alphabet_global_updates(
@@ -1158,16 +1215,56 @@ def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=66
 # ---------------------------------------------------------------------------
 
 
+def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
+    """One iteration of K chains.  The cheap phases vmap; the SNP sweep uses
+    the dedicated multi-chain Pallas kernel when supported (the matvecs get
+    M=K on the MXU and the draws run on (K,1) sublane vectors), else the
+    vmapped XLA sweep."""
+    from ..ops import blockgibbs
+
+    dt = data.y.dtype
+    keys = jax.vmap(lambda k, it: jax.random.fold_in(k, it))(chain_keys, states.it)
+    pre = jax.vmap(lambda k, s: _pre_sweep(spec, data, k, s))(keys, states)
+    K = int(states.it.shape[0])
+
+    if spec.use_pallas and blockgibbs.supports_mc(
+        spec, spec.n, K, dt, geno_itemsize=data.X_blocks.dtype.itemsize
+    ):
+        interp = jax.default_backend() == "cpu"
+        z_b, u_b, chi_b, z2_b = pre["rnd"]
+        sweep_out = blockgibbs.sweep_mc(
+            spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+            data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,
+            pre["vargL_in"], pre["yadj"], pre["u"], interpret=interp,
+        )
+    else:
+        sweep_out = jax.vmap(
+            lambda c, r, vei, g, vl, ya, uu: _sweep_xla(spec, data, c, r, vei, g, vl, ya, uu)
+        )(pre["consts"], pre["rnd"], pre["vei"], states.g, pre["vargL_in"],
+          pre["yadj"], pre["u"])
+
+    return jax.vmap(
+        lambda k, s, p, so: _post_sweep(spec, data, k, s, p, so)
+    )(keys, states, pre, sweep_out)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _run_all_multi(spec: GibbsSpec, data: GibbsData, chain_keys, states):
-    """K independent chains batched with vmap: the per-block matvecs become
-    (K,n)x(n,B) matmuls (MXU M=K instead of 1) and every draw vectorises
-    across chains.  The reference runs a single chain only."""
+    """K independent chains batched: per-block matvecs become (K,n)x(n,B)
+    matmuls (MXU M=K instead of 1) and every draw vectorises across chains.
+    The reference runs a single chain only."""
+    step = lambda ss: one_iteration_batch(spec, data, chain_keys, ss)
 
-    def run_one(key, state):
-        return _run_all(spec, data, key, state)
+    states = jax.lax.fori_loop(0, spec.nburn, lambda i, ss: step(ss), states)
 
-    return jax.vmap(run_one, in_axes=(0, 0))(chain_keys, states)
+    def record_body(ss, _):
+        ss = jax.lax.fori_loop(0, spec.thin, lambda i, s2: step(s2), ss)
+        return ss, jax.vmap(lambda s1: _snapshot(spec, s1))(ss)
+
+    states, samples = jax.lax.scan(record_body, states, None, length=spec.n_records)
+    # scan stacks records first: (n_records, K, ...) -> (K, n_records, ...)
+    samples = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), samples)
+    return states, samples
 
 
 def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,

@@ -322,3 +322,230 @@ def sweep(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
         yadj_o.reshape(n), u_o.reshape(n),
         vargi_acc, vargR_acc,
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-chain fused sweep: K chains share the genotype block, the matvecs
+# become (K,n)x(n,B) MXU matmuls and every draw runs on (K,1) sublane vectors
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mc(spec: GibbsSpec, n: int, B: int, R: int, K: int,
+               scal_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
+               dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+               yadj_s, u_s, r_local, dg_s, track_s):
+    mi = spec.model_index
+    b = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        yadj_s[:] = yadj_in_ref[:]
+        u_s[:] = u_in_ref[:]
+
+    Xb = X_ref[0].astype(F32)   # (n, B)
+    P = P_ref[0]                # (R*K, B)
+
+    # r0 = yadj @ X_b : (K, n) x (n, B) -> (K, B)
+    r_local[:] = jax.lax.dot_general(
+        yadj_s[:], Xb, (((1,), (0,)), ((), ())), preferred_element_type=F32
+    )
+    dg_s[:] = jnp.zeros((K, B), F32)
+    track_s[:] = jnp.zeros((K, B), F32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    nf = spec.n_fold
+    # per-chain scalar constants: K scalar SMEM reads (vector SMEM loads are
+    # not supported by Mosaic)
+    logpi0 = jnp.stack([scal_ref[0, k] for k in range(K)]).reshape(K, 1)
+
+    def body(j, _):
+        mask = lane == j
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1, keepdims=True)  # (R*K, 1)
+
+        def vals(r):
+            return jax.lax.slice_in_dim(red, r * K, (r + 1) * K, axis=0)  # (K,1)
+
+        rj = jnp.sum(jnp.where(mask, r_local[:], 0.0), axis=1, keepdims=True)
+        rg_j = vals(0)
+        g_old = vals(1)
+        rhs = rj + rg_j
+
+        if mi in (1, 2):
+            gi = rhs * vals(2) + vals(3)
+        elif mi in (3, 4):
+            ind = rhs * rhs >= vals(4)
+            gi = jnp.where(ind, rhs * vals(2) + vals(3), 0.0)
+            track_s[:] = jnp.where(mask, ind.astype(F32), track_s[:])
+        elif mi == 5:
+            gi = rhs * vals(2) + vals(3)
+            gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
+            gi = jnp.where(vals(2) > 0, gi, 0.0)
+        else:  # BayesR
+            q = rhs * rhs
+            s = [logpi0]
+            for f in range(1, nf):
+                s.append(vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q)
+            smax = s[0]
+            for f in range(1, nf):
+                smax = jnp.maximum(smax, s[f])
+            es = [jnp.exp(sf - smax) for sf in s]
+            tot = es[0]
+            for f in range(1, nf):
+                tot = tot + es[f]
+            uu = vals(2 + 4 * (nf - 1))
+            ind = jnp.zeros((K, 1), jnp.int32)
+            chosen = jnp.zeros((K, 1), bool)
+            acc = jnp.zeros((K, 1), F32)
+            for f in range(nf):
+                acc = acc + es[f] / tot
+                newly = (~chosen) & (uu < acc)
+                ind = jnp.where(newly, f, ind)
+                chosen = chosen | newly
+            ivf = jnp.zeros((K, 1), F32)
+            szf = jnp.zeros((K, 1), F32)
+            for f in range(1, nf):
+                sel = ind == f
+                ivf = jnp.where(sel, vals(4 + 4 * (f - 1)), ivf)
+                szf = jnp.where(sel, vals(5 + 4 * (f - 1)), szf)
+            gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
+            track_s[:] = jnp.where(mask, ind.astype(F32), track_s[:])
+
+        dg = g_old - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        wrow = W_ref[0, pl.ds(j, 1), :]
+        r_local[:] = r_local[:] + dg * wrow
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    delta = jax.lax.dot_general(
+        dg_s[:], Xb, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    )
+    yadj_s[:] = yadj_s[:] + delta
+    u_s[:] = u_s[:] - delta
+
+    @pl.when(b == nblocks - 1)
+    def _():
+        yadj_out_ref[:] = yadj_s[:]
+        u_out_ref[:] = u_s[:]
+
+
+def supports_mc(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard or K < 2:
+        return False
+    R = 5 if spec.model_index in (3, 4) else (
+        3 + 4 * (spec.n_fold - 1) if spec.model_index == 6 else 4
+    )
+    vmem = (
+        n * spec.block * geno_itemsize * 2
+        + n * spec.block * 4
+        + spec.block * spec.block * 4 * 2
+        + K * n * 4 * 4
+        + R * K * spec.block * 4 * 2
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
+             g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
+             interpret=False):
+    """K-chain fused sweep.  Batched inputs carry a leading chain axis:
+    consts entries (K,)/(K,nf); per-SNP arrays (K, m_pad); yadj/u (K, n).
+    Returns the same tuple as `sweep` with a leading K axis."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    K = yadj_b.shape[0]
+    mi = spec.model_index
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return _pack_rows(spec, c, xpx, vx, vei, g, z, uu, chi)
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]  # (K, R, m_pad)
+    P_blocks = (
+        P.reshape(K, R, nblocks, B).transpose(2, 1, 0, 3).reshape(nblocks, R * K, B)
+    )
+    scal = jnp.stack([consts_b["logpi"][:, 0].astype(F32)])  # (1, K)
+
+    kern = functools.partial(_kernel_mc, spec, n, B, R, K)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nblocks, K, B), F32),
+        jax.ShapeDtypeStruct((nblocks, K, B), F32),
+        jax.ShapeDtypeStruct((K, n), F32),
+        jax.ShapeDtypeStruct((K, n), F32),
+    )
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R * K, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((K, n), F32),
+            pltpu.VMEM((K, n), F32),
+            pltpu.VMEM((K, B), F32),
+            pltpu.VMEM((K, B), F32),
+            pltpu.VMEM((K, B), F32),
+        ],
+        interpret=interpret,
+    )(
+        scal, P_blocks, X_blocks, W_blocks.astype(F32),
+        yadj_b.astype(F32), u_vec_b.astype(F32),
+    )
+
+    dg = dg.transpose(1, 0, 2).reshape(K, m_pad)
+    track = track_f.transpose(1, 0, 2).reshape(K, m_pad).astype(jnp.int32)
+    g_new = g_b.astype(F32) - dg
+
+    act = vx > 0
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g_new * g_new, 0.0), axis=1)
+    else:
+        vargi_acc = jnp.zeros((K,), F32)
+    if mi == 6:
+        ffold = jax.vmap(lambda f, t: f[t])(consts_b["fold"], track)
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g_new * g_new / jnp.maximum(ffold, 1e-30), 0.0),
+            axis=1,
+        )
+    else:
+        vargR_acc = jnp.zeros((K,), F32)
+    if mi == 5:
+        lam2 = consts_b["lambda2"].astype(F32).reshape(K, 1)
+        lam = jnp.sqrt(lam2)
+        ve = vei_b.astype(F32)
+        znew = z2_b.astype(F32)
+        uu = u_b.astype(F32)
+        mu_ig = jnp.sqrt(ve) * lam / jnp.maximum(jnp.abs(g_new), 1e-30)
+        y2 = znew * znew
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(uu <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL_new = jnp.where(act[None, :] & ok, vargi, vargL_b.astype(F32))
+    else:
+        vargL_new = vargL_b.astype(F32)
+
+    return (g_new, track, vargL_new, yadj_o, u_o, vargi_acc, vargR_acc)

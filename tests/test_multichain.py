@@ -50,3 +50,35 @@ def test_rhat_converged_chain_near_one():
     rhat = extras["rhat"]
     assert "Vg" in rhat and "Ve" in rhat
     assert 0.9 < rhat["Ve"] < 1.3, rhat
+
+
+def test_multichain_pallas_kernel_interpret():
+    """Multi-chain fused kernel vs vmapped XLA sweep (interpret mode)."""
+    import jax.numpy as jnp
+
+    data, spec, pr, pi = build(n=160, m=128, B=128)
+    kw = {**spec.__dict__}
+    kw.update(niter=30, nburn=15)
+    # rebuild data in f32 for the kernel
+    rng = np.random.default_rng(8)
+    n, m, B = 160, 128, 128
+    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.float32)
+    y = (M @ rng.normal(0, 0.15, m) + rng.normal(0, 1, n)).astype(np.float32)
+    data32 = G.prepare_gibbs_data(y, M, block=B, dtype=jnp.float32)
+    pr32 = G.resolve_priors(y, float(np.asarray(data32.vx).sum()), pi[0], nr=0)
+    kw2 = dict(kw)
+    kw2.update(m_pad=int(data32.xpx.shape[0]), block=B,
+               nvar0=int((np.asarray(data32.vx)[:m] == 0).sum()))
+    spec_x = G.GibbsSpec(**kw2)
+    spec_p = G.GibbsSpec(**{**kw2, "use_pallas": True})
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 4)
+    s0 = G.init_state(spec_x, data32, pr32, pi)
+    states0 = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (4,) + x.shape), s0)
+    sx = G.one_iteration_batch(spec_x, data32, keys, states0)
+    sp = G.one_iteration_batch(spec_p, data32, keys, states0)
+    gx, gp = np.asarray(sx.g), np.asarray(sp.g)
+    agree = np.asarray(sx.track) == np.asarray(sp.track)
+    assert agree.mean() >= 0.99
+    scale = np.abs(gx).max() + 1e-12
+    np.testing.assert_allclose(gx[agree], gp[agree], rtol=0, atol=5e-5 * scale)
