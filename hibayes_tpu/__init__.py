@@ -9,6 +9,8 @@ residual updates over ICI.
 
 from .data.ld import BlockDiagLD, DenseLD, SparseLD, ldmat
 from .data.plink import GenoMatrix, read_plink
+from .data.pedigree import read_pedigree
+from .data.pheno import read_pheno
 from .data.sumstats import read_sumstat
 from .model.ibrm import ibrm
 from .model.results import BlrMod
@@ -16,7 +18,7 @@ from .model.sbrm import sbrm
 from .model.ssbrm import ssbrm
 
 __all__ = [
-    "read_plink", "GenoMatrix", "ldmat", "read_sumstat",
+    "read_plink", "GenoMatrix", "ldmat", "read_sumstat", "read_pheno", "read_pedigree",
     "ibrm", "sbrm", "ssbrm", "BlrMod",
     "DenseLD", "SparseLD", "BlockDiagLD",
 ]
