@@ -198,13 +198,33 @@ def ldmat(
         keepn = np.asarray(keep)
         return SparseLD(values=np.asarray(Gm, dtype=np.float64), nnz_col=keepn.sum(axis=0))
 
-    # per-chromosome blocks
+    # per-chromosome blocks (tXXmat_Chr / tXXmat_Chr_gwas, tXXmat.cpp:504-840)
+    if gwas_geno is not None:
+        if gwas_map is None:
+            raise ValueError("map information for gwas sample should be provided.")
+        ref_ids = np.asarray(map["SNP"] if isinstance(map, dict) else map[:, 0]).astype(str)
+        gw_ids = np.asarray(
+            gwas_map["SNP"] if isinstance(gwas_map, dict) else gwas_map[:, 0]
+        ).astype(str)
+        Xg_all = gwas_geno.values if hasattr(gwas_geno, "values") else np.asarray(gwas_geno)
+
     blocks, sizes, nnzs = [], [], []
     order = []
     for c in dict.fromkeys(chroms):  # stable unique order
         idx = np.flatnonzero(chroms == c)
         order.append(idx)
         Gc = build_dense(X[:, idx])
+        if gwas_geno is not None:
+            # overlay the GWAS panel's own LD for SNPs shared on this chr
+            chr_ids = ref_ids[idx]
+            shared = np.isin(gw_ids, chr_ids)
+            if shared.sum():
+                Xg = Xg_all[:, shared]
+                pos_in_chr = np.array(
+                    [np.flatnonzero(chr_ids == s)[0] for s in gw_ids[shared]]
+                )
+                Gg = build_dense(Xg)
+                Gc[np.ix_(pos_in_chr, pos_in_chr)] = Gg
         if chisq is not None:
             Gm, keep = _chisq_mask(jnp.asarray(Gc), n, chisq)
             Gc = np.asarray(Gm, dtype=np.float64)

@@ -187,6 +187,15 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     vargL_full = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
     vargi_acc = jnp.zeros((), dt)
     vargR_acc = jnp.zeros((), dt)
+
+    from ..ops import blockgibbs
+
+    if spec.use_pallas and blockgibbs.supports_s(spec, spec.seg_sizes, dt):
+        return _one_s_iteration_pallas(
+            spec, data, key, state, consts, vei, vargL_full,
+            z_snp, u_snp, chi_snp, z2_snp,
+        )
+
     g_parts, track_parts, vargL_parts = [], [], []
 
     off = 0
@@ -353,3 +362,104 @@ def segment_unpad_index(spec: GibbsSpec):
         idx.extend(range(off, off + mc_real))
         off += mc_pad
     return np.asarray(idx, dtype=np.int64)
+
+
+def _one_s_iteration_pallas(spec, data, key, state, consts, vei, vargL_full,
+                            z_snp, u_snp, chi_snp, z2_snp):
+    """Fused-kernel variant of the summary sweep: per-SNP coefficients packed
+    vectorised (same phase-A as the individual kernel), one Pallas program
+    per LD segment, order-independent accumulators afterwards."""
+    import jax as _jax
+
+    from ..ops import blockgibbs
+
+    dt = data.xy.dtype
+    B = spec.block
+    m_pad = spec.m_pad
+    n = spec.n
+    interp = _jax.default_backend() == "cpu"
+
+    c = dict(consts)
+    c["vargL_vec"] = vargL_full
+    P = blockgibbs._pack_rows(
+        spec, c, data.xpx, data.vx, vei, state.g, z_snp, u_snp, chi_snp
+    )
+    R = P.shape[0]
+
+    r_hat = state.r_hat
+    dg_parts, track_parts = [], []
+    off = 0
+    for seg_i, mc in enumerate(spec.seg_sizes):
+        P_seg = jax.lax.dynamic_slice(P, (0, off), (R, mc))
+        P_blocks = P_seg.reshape(R, mc // B, B).transpose(1, 0, 2)
+        r_seg = jax.lax.dynamic_slice(r_hat, (off,), (mc,))
+        dg_seg, track_seg, r_new = blockgibbs.sweep_s_segment(
+            spec, consts, data.ld_segs[seg_i], r_seg, P_blocks, n,
+            interpret=interp,
+        )
+        r_hat = jax.lax.dynamic_update_slice(r_hat, r_new.astype(dt), (off,))
+        dg_parts.append(dg_seg)
+        track_parts.append(track_seg)
+        off += mc
+
+    dg = jnp.concatenate(dg_parts).astype(dt)
+    track = jnp.concatenate(track_parts)
+    g = state.g - dg
+    mi = spec.model_index
+
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g * g, 0.0))
+    else:
+        vargi_acc = jnp.zeros((), dt)
+    if mi == 6:
+        ffold = data.fold[track]
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g * g / jnp.maximum(ffold, 1e-30), 0.0)
+        )
+    else:
+        vargR_acc = jnp.zeros((), dt)
+    if mi == 5 and state.vargL.size:
+        lam2 = state.lambda2
+        lam = jnp.sqrt(lam2)
+        mu_ig = jnp.sqrt(vei) * lam / jnp.maximum(jnp.abs(g), 1e-30)
+        y2 = z2_snp * z2_snp
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(u_snp <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL = jnp.where((data.vx > 0) & ok, vargi, vargL_full)
+    else:
+        vargL = state.vargL
+
+    varg, pi, vara_fold, lambda2 = alphabet_global_updates(
+        spec, key, g, track, data.real, data.fold,
+        vargi_acc, vargR_acc, vargL if state.vargL.size else vargL_full,
+        state.varg, state.pi, state.vara_fold, state.lambda2,
+    )
+
+    kvara = jax.random.fold_in(key, 31)
+    chi_a = 2.0 * jax.random.gamma(kvara, jnp.asarray((n + spec.dfvara) / 2.0, dt), dtype=dt)
+    vara = (jnp.dot(g, data.xy - r_hat, precision=HIGHEST) + spec.s2vara * spec.dfvara) / chi_a
+    kve = jax.random.fold_in(key, STREAM_VE)
+    chi_e = 2.0 * jax.random.gamma(kve, jnp.asarray((n + spec.dfvare) / 2.0, dt), dtype=dt)
+    vare = (data.yy - jnp.dot(g, data.xy + r_hat, precision=HIGHEST)
+            + spec.s2vare * spec.dfvare) / chi_e
+    vare = jnp.where(vare < 0, 0.5 * vara, vare)
+
+    post = state.it >= spec.nburn
+    nz = (track > 0) & data.real
+    nzrate = state.nzrate + jnp.where(post, nz.astype(dt), 0.0)
+    wppa = state.wppa
+    if spec.nw:
+        win_any = jax.ops.segment_max(
+            nz.astype(jnp.int32), data.windindx0, num_segments=spec.nw + 1
+        )[: spec.nw]
+        wppa = wppa + jnp.where(post, win_any.astype(dt), 0.0)
+
+    return SChainState(
+        it=state.it + 1, r_hat=r_hat, g=g, varg=varg, vargL=vargL,
+        lambda2=lambda2, pi=pi, vara_fold=vara_fold, vara=vara, vare=vare,
+        track=track, nzrate=nzrate, wppa=wppa,
+    )

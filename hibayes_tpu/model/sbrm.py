@@ -109,6 +109,7 @@ def sbrm(
         vargl_strict_pos=True,
         reject_guard=sparse_semantics, vary=vary,
         seg_sizes=seg_sizes, seg_real=seg_real,
+        use_pallas=dtype == jnp.float32 and __import__("jax").default_backend() != "cpu",
     )
     if verbose:
         kind = "sparse/block" if sparse_semantics else "dense"

@@ -549,3 +549,169 @@ def sweep_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
         vargL_new = vargL_b.astype(F32)
 
     return (g_new, track, vargL_new, yadj_o, u_o, vargi_acc, vargR_acc)
+
+
+def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
+    """Shared draw body over packed coefficient values (scalar or (K,1))."""
+    mi = spec.model_index
+    nf = spec.n_fold
+    if mi in (1, 2):
+        return rhs * vals(2) + vals(3), None
+    if mi in (3, 4):
+        ind = rhs * rhs >= vals(4)
+        gi = jnp.where(ind, rhs * vals(2) + vals(3), 0.0)
+        return gi, ind.astype(F32)
+    if mi == 5:
+        gi = rhs * vals(2) + vals(3)
+        gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
+        gi = jnp.where(vals(2) > 0, gi, 0.0)
+        return gi, None
+    # BayesR
+    q = rhs * rhs
+    s = [logpi0 + 0.0 * rhs]
+    for f in range(1, nf):
+        s.append(vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q)
+    smax = s[0]
+    for f in range(1, nf):
+        smax = jnp.maximum(smax, s[f])
+    es = [jnp.exp(sf - smax) for sf in s]
+    tot = es[0]
+    for f in range(1, nf):
+        tot = tot + es[f]
+    uu = vals(2 + 4 * (nf - 1))
+    ind = jnp.zeros_like(rhs, dtype=jnp.int32)
+    chosen = jnp.zeros_like(rhs, dtype=bool)
+    acc = jnp.zeros_like(rhs)
+    for f in range(nf):
+        acc = acc + es[f] / tot
+        newly = (~chosen) & (uu < acc)
+        ind = jnp.where(newly, f, ind)
+        chosen = chosen | newly
+    ivf = jnp.zeros_like(rhs)
+    szf = jnp.zeros_like(rhs)
+    for f in range(1, nf):
+        sel = ind == f
+        ivf = jnp.where(sel, vals(4 + 4 * (f - 1)), ivf)
+        szf = jnp.where(sel, vals(5 + 4 * (f - 1)), szf)
+    gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
+    return gi, ind.astype(F32)
+
+
+# ---------------------------------------------------------------------------
+# summary-level fused sweep: one LD segment (chromosome), r_hat as the state
+# ---------------------------------------------------------------------------
+
+
+def _kernel_s(spec: GibbsSpec, mc: int, B: int, R: int, n: int,
+              scal_ref, P_ref, LD_ref, r_in_ref,
+              dg_out_ref, track_out_ref, r_out_ref,
+              r_seg_s, r_local, dg_s, track_s):
+    """Per-segment summary sweep: r_local starts as the r_hat block slice;
+    the in-block Gram rows are n * LD[block, block] read from the segment's
+    column block; post-block update r_seg += n * LD[:, block] @ dg
+    (SBayesD.cpp:264-267 as one matmul)."""
+    b = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        r_seg_s[:] = r_in_ref[:]
+
+    P = P_ref[0]   # (R, B)
+    nf32 = jnp.float32(n)
+
+    r_local[:] = r_seg_s[0, pl.ds(b * B, B)].reshape(1, B)
+    dg_s[:] = jnp.zeros((1, B), F32)
+    track_s[:] = jnp.zeros((1, B), F32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    logpi0 = scal_ref[0]
+
+    def body(j, _):
+        mask = lane == j
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1)
+        vals = lambda r: red[r]
+        rj = jnp.sum(jnp.where(mask, r_local[:], 0.0))
+        rhs = rj + red[0]
+        gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+        dg = red[1] - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        if track is not None:
+            track_s[:] = jnp.where(mask, track, track_s[:])
+        # Gram row: n * LD[b*B + j, block] from the segment's column block
+        wrow = LD_ref[0, pl.ds(b * B + j, 1), :].astype(F32)
+        r_local[:] = r_local[:] + dg * nf32 * wrow
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # r_seg += n * LD[:, block] @ dg
+    cols = LD_ref[0].astype(F32)   # (mc, B)
+    upd = jax.lax.dot_general(
+        dg_s[:], cols, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    )                              # (1, mc)
+    r_seg_s[:] = r_seg_s[:] + nf32 * upd
+
+    @pl.when(b == nblocks - 1)
+    def _():
+        r_out_ref[:] = r_seg_s[:]
+
+
+def supports_s(spec: GibbsSpec, seg_sizes, dtype) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard:
+        return False
+    mc_max = max(seg_sizes) if seg_sizes else 0
+    vmem = mc_max * spec.block * 4 * 2 + mc_max * 4 * 2
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_s_segment(spec: GibbsSpec, consts, LD_seg, r_seg, P_seg_blocks,
+                    n: int, interpret=False):
+    """Sweep one padded LD segment.  LD_seg (mc, mc); r_seg (mc,);
+    P_seg_blocks (nblocks, R, B) packed coefficient rows for this segment.
+    Returns (dg (mc,), track (mc,), r_seg_new (mc,))."""
+    mc = LD_seg.shape[0]
+    B = spec.block
+    nblocks = mc // B
+    R = P_seg_blocks.shape[1]
+    scal = jnp.stack([consts["logpi"][0].astype(F32)])
+
+    kern = functools.partial(_kernel_s, spec, mc, B, R, n)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dg, track_f, r_new = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, B), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            full((1, mc)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((1, mc)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, 1, B), F32),
+            jax.ShapeDtypeStruct((nblocks, 1, B), F32),
+            jax.ShapeDtypeStruct((1, mc), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, mc), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        P_seg_blocks,
+        LD_seg.astype(F32).reshape(1, mc, mc),
+        r_seg.astype(F32).reshape(1, mc),
+    )
+    return dg.reshape(mc), track_f.reshape(mc).astype(jnp.int32), r_new.reshape(mc)

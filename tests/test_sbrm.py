@@ -134,3 +134,26 @@ def test_sbrm_na_sumstat_masked(demo):
     fit = ht.sbrm(ma, ld, method="BayesCpi", niter=800, nburn=500, verbose=False)
     assert (fit.alpha[:20] == 0).all()
     assert np.isfinite(fit.alpha).all()
+
+
+def test_ldmat_gwas_overlay_chr_blocks():
+    rng = np.random.default_rng(5)
+    X = rng.binomial(2, 0.4, size=(40, 8)).astype(np.float64)
+    Xg = rng.binomial(2, 0.4, size=(25, 3)).astype(np.float64)
+    map_ = {"SNP": np.array([f"s{i}" for i in range(8)]),
+            "Chr": np.array([1, 1, 1, 1, 2, 2, 2, 2]),
+            "Pos": np.arange(1, 9)}
+    gmap = {"SNP": np.array(["s1", "s2", "s6"]),
+            "Chr": np.array([1, 1, 2]), "Pos": np.arange(1, 4)}
+    ld = ht.ldmat(X, map=map_, gwas_geno=Xg, gwas_map=gmap, ldchr=False)
+    assert isinstance(ld, ht.BlockDiagLD)
+    # chr1 block: s1,s2 (local idx 1,2) patched from gwas panel cols 0,1
+    Xc = Xg[:, :2] - Xg[:, :2].mean(axis=0)
+    gcov = (Xc.T @ Xc) / Xg.shape[0]
+    np.testing.assert_allclose(
+        ld.blocks[0][np.ix_([1, 2], [1, 2])], gcov, rtol=1e-5, atol=1e-6
+    )
+    # chr2 block: s6 (local idx 2) diag patched
+    xg6 = Xg[:, 2] - Xg[:, 2].mean()
+    np.testing.assert_allclose(ld.blocks[1][2, 2], (xg6 @ xg6) / Xg.shape[0],
+                               rtol=1e-5)

@@ -1,0 +1,48 @@
+"""Summary-engine Pallas path vs XLA scan path (interpret mode on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from hibayes_tpu.engine import gibbs as G
+from hibayes_tpu.engine import sgibbs as SG
+from tests.test_sgibbs_exact import make_problem
+
+
+@pytest.mark.parametrize("model,blockdiag", [
+    ("BayesCpi", False), ("BayesCpi", True), ("BayesRR", False), ("BayesR", False),
+])
+def test_sgibbs_pallas_matches_scan(model, blockdiag):
+    import jax.numpy as jnp
+
+    # rebuild the problem in f32 (kernel requirement)
+    data, spec, pr, pi = make_problem(model, blockdiag=blockdiag)
+    data32 = SG.SGibbsData(
+        ld_segs=tuple(s.astype(jnp.float32) for s in data.ld_segs),
+        xy=data.xy.astype(jnp.float32),
+        xpx=data.xpx.astype(jnp.float32),
+        vx=data.vx.astype(jnp.float32),
+        real=data.real,
+        varediff=data.varediff.astype(jnp.float32),
+        fold=data.fold.astype(jnp.float32),
+        windindx0=data.windindx0,
+        yy=data.yy.astype(jnp.float32),
+    )
+    spec_x = spec
+    spec_p = G.GibbsSpec(**{**spec.__dict__, "use_pallas": True})
+    key = jax.random.PRNGKey(33)
+    s0 = SG.init_s_state(spec_x, data32, pr, pi)
+    sx = jax.jit(lambda s: SG.one_s_iteration(spec_x, data32, key, s))(s0)
+    sp = jax.jit(lambda s: SG.one_s_iteration(spec_p, data32, key, s))(s0)
+
+    tx, tp = np.asarray(sx.track), np.asarray(sp.track)
+    agree = tx == tp
+    assert agree.mean() >= 0.99, f"track flips {100 * (1 - agree.mean()):.2f}%"
+    gx, gp = np.asarray(sx.g), np.asarray(sp.g)
+    scale = np.abs(gx).max() + 1e-12
+    np.testing.assert_allclose(gx[agree], gp[agree], rtol=0, atol=5e-5 * scale)
+    if agree.all():
+        np.testing.assert_allclose(
+            np.asarray(sx.r_hat), np.asarray(sp.r_hat), rtol=0,
+            atol=2e-4 * np.abs(np.asarray(sx.r_hat)).max() + 1e-6,
+        )
