@@ -480,14 +480,23 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     from ..ops import blockgibbs
 
     dt = data.y.dtype
-    if spec.use_pallas and blockgibbs.supports(
-        spec, spec.n, dt, geno_itemsize=data.X_blocks.dtype.itemsize
-    ):
-        interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
+    itemsize = data.X_blocks.dtype.itemsize
+    interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
+    if spec.use_pallas and blockgibbs.supports(spec, spec.n, dt, geno_itemsize=itemsize):
         sweep_out = blockgibbs.sweep(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], state.g, *pre["rnd"], pre["vargL_in"],
             pre["yadj"], pre["u"], interpret=interp,
+        )
+    elif spec.use_pallas and not interp and blockgibbs.supports_chunked(
+        spec, spec.n, dt, geno_itemsize=itemsize
+    ):
+        # large-n path: X stays in HBM, chunks streamed with double-buffered
+        # DMA (manual DMA is not modelled by the CPU interpreter)
+        sweep_out = blockgibbs.sweep_chunked(
+            spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+            data.vx, pre["vei"], state.g, *pre["rnd"], pre["vargL_in"],
+            pre["yadj"], pre["u"],
         )
     else:
         sweep_out = _sweep_xla(

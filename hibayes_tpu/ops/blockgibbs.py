@@ -127,66 +127,19 @@ def _kernel(spec: GibbsSpec, n: int, B: int, R: int,
     track_s[:] = jnp.zeros((1, B), F32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    nf = spec.n_fold
     logpi0 = scal_ref[0]
 
     def body(j, _):
         mask = lane == j
-        vals = jnp.sum(jnp.where(mask, P, 0.0), axis=1)  # (R,)
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1)  # (R,)
+        vals = lambda r: red[r]
         rj = jnp.sum(jnp.where(mask, r_local[:], 0.0))
-        rg_j = vals[0]
-        g_old = vals[1]
-        rhs = rj + rg_j
-
-        if mi in (1, 2):
-            gi = rhs * vals[2] + vals[3]
-            track = jnp.float32(0.0)
-        elif mi in (3, 4):
-            ind = rhs * rhs >= vals[4]
-            gi = jnp.where(ind, rhs * vals[2] + vals[3], 0.0)
-            track = ind.astype(F32)
-        elif mi == 5:
-            gi = rhs * vals[2] + vals[3]
-            gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
-            # inactive SNPs have inv_v == sz == 0 -> gi would clamp to 1e-6;
-            # force 0 so padding columns stay untouched
-            gi = jnp.where(vals[2] > 0, gi, 0.0)
-            track = jnp.float32(0.0)
-        else:  # BayesR
-            q = rhs * rhs
-            s = [logpi0]
-            for f in range(1, nf):
-                A_f = vals[2 + 4 * (f - 1)]
-                B_f = vals[3 + 4 * (f - 1)]
-                s.append(A_f + B_f * q)
-            smax = s[0]
-            for f in range(1, nf):
-                smax = jnp.maximum(smax, s[f])
-            es = [jnp.exp(sf - smax) for sf in s]
-            tot = es[0]
-            for f in range(1, nf):
-                tot = tot + es[f]
-            uu = vals[2 + 4 * (nf - 1)]
-            ind = jnp.zeros((), jnp.int32)
-            chosen = jnp.zeros((), bool)
-            acc = jnp.float32(0.0)
-            for f in range(nf):
-                acc = acc + es[f] / tot
-                newly = (~chosen) & (uu < acc)
-                ind = jnp.where(newly, f, ind)
-                chosen = chosen | newly
-            ivf = jnp.float32(0.0)
-            szf = jnp.float32(0.0)
-            for f in range(1, nf):
-                sel = ind == f
-                ivf = jnp.where(sel, vals[4 + 4 * (f - 1)], ivf)
-                szf = jnp.where(sel, vals[5 + 4 * (f - 1)], szf)
-            gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
-            track = ind.astype(F32)
-
-        dg = g_old - gi
+        rhs = rj + red[0]
+        gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+        dg = red[1] - gi
         dg_s[:] = jnp.where(mask, dg, dg_s[:])
-        track_s[:] = jnp.where(mask, track, track_s[:])
+        if track is not None:
+            track_s[:] = jnp.where(mask, track, track_s[:])
         wrow = W_ref[0, pl.ds(j, 1), :]
         r_local[:] = r_local[:] + dg * wrow
         return 0
@@ -715,3 +668,222 @@ def sweep_s_segment(spec: GibbsSpec, consts, LD_seg, r_seg, P_seg_blocks,
         r_seg.astype(F32).reshape(1, mc),
     )
     return dg.reshape(mc), track_f.reshape(mc).astype(jnp.int32), r_new.reshape(mc)
+
+
+# ---------------------------------------------------------------------------
+# chunked-n fused sweep: X stays in HBM, n-chunks stream through VMEM with
+# double-buffered DMA — lifts the "X_b fits VMEM" limit (n up to millions)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chunked(spec: GibbsSpec, n: int, B: int, R: int, C: int,
+                    scal_ref, P_ref, X_hbm, W_ref, yadj_in_ref, u_in_ref,
+                    dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+                    yadj_s, u_s, r_local, dg_s, track_s, xbuf, sem):
+    """Like `_kernel` but X_b is DMA-streamed in (C, B) chunks.  Each block
+    makes two passes over its X columns (r0 accumulation, then the delta
+    scatter), both double-buffered."""
+    b = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    nchunks = n // C
+
+    @pl.when(b == 0)
+    def _():
+        yadj_s[:] = yadj_in_ref[:]
+        u_s[:] = u_in_ref[:]
+
+    P = P_ref[0]
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            X_hbm.at[b, pl.ds(c * C, C), :], xbuf.at[slot], sem.at[slot]
+        )
+
+    # ---- pass 1: r0 = sum_c yadj[c] @ X[c] ----
+    chunk_dma(0, 0).start()
+    r_local[:] = jnp.zeros((1, B), F32)
+
+    def p1(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma((c + 1) % 2, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        Xc = xbuf[slot].astype(F32)
+        ya = yadj_s[0, pl.ds(c * C, C)].reshape(1, C)
+        r_local[:] = r_local[:] + jax.lax.dot_general(
+            ya, Xc, (((1,), (0,)), ((), ())), preferred_element_type=F32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p1, 0)
+
+    # ---- sequential draws (same as _kernel) ----
+    dg_s[:] = jnp.zeros((1, B), F32)
+    track_s[:] = jnp.zeros((1, B), F32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    logpi0 = scal_ref[0]
+
+    def body(j, _):
+        mask = lane == j
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1)
+        vals = lambda r: red[r]
+        rj = jnp.sum(jnp.where(mask, r_local[:], 0.0))
+        rhs = rj + red[0]
+        gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+        dg = red[1] - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        if track is not None:
+            track_s[:] = jnp.where(mask, track, track_s[:])
+        wrow = W_ref[0, pl.ds(j, 1), :]
+        r_local[:] = r_local[:] + dg * wrow
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # ---- pass 2: yadj[c] += X[c] @ dg ; u[c] -= ----
+    chunk_dma(0, 0).start()
+
+    def p2(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma((c + 1) % 2, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        Xc = xbuf[slot].astype(F32)
+        delta = jax.lax.dot_general(
+            dg_s[:], Xc, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        )  # (1, C)
+        yadj_s[0, pl.ds(c * C, C)] = yadj_s[0, pl.ds(c * C, C)] + delta[0]
+        u_s[0, pl.ds(c * C, C)] = u_s[0, pl.ds(c * C, C)] - delta[0]
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p2, 0)
+
+    @pl.when(b == nblocks - 1)
+    def _():
+        yadj_out_ref[:] = yadj_s[:]
+        u_out_ref[:] = u_s[:]
+
+
+CHUNK_N = 2048
+
+
+def supports_chunked(spec: GibbsSpec, n: int, dtype, geno_itemsize=4) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard:
+        return False
+    if n % CHUNK_N != 0:
+        return False
+    vmem = (
+        2 * CHUNK_N * spec.block * geno_itemsize   # double-buffered X chunks
+        + CHUNK_N * spec.block * 4                  # f32 cast temp
+        + spec.block * spec.block * 4 * 2
+        + n * 4 * 4                                 # yadj/u in/out + scratch
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_chunked(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
+                  z_snp, u_snp, chi_snp, z2_snp, vargL, yadj, u,
+                  interpret=False):
+    """Chunked-n variant of `sweep` — same semantics, X stays in HBM."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    C = CHUNK_N
+
+    consts = dict(consts)
+    consts["vargL_vec"] = vargL
+    P = _pack_rows(spec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp)
+    R = P.shape[0]
+    P_blocks = P.reshape(R, nblocks, B).transpose(1, 0, 2)
+    scal = jnp.stack([consts["logpi"][0].astype(F32)])
+
+    kern = functools.partial(_kernel_chunked, spec, n, B, R, C)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),                                # X in HBM
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((1, n)),
+            full((1, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((1, n)),
+            full((1, n)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, 1, B), F32),
+            jax.ShapeDtypeStruct((nblocks, 1, B), F32),
+            jax.ShapeDtypeStruct((1, n), F32),
+            jax.ShapeDtypeStruct((1, n), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), F32),
+            pltpu.VMEM((1, n), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((2, CHUNK_N, B), X_blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        scal, P_blocks, X_blocks, W_blocks.astype(F32),
+        yadj.astype(F32).reshape(1, n), u.astype(F32).reshape(1, n),
+    )
+
+    dg = dg.reshape(m_pad)
+    track = track_f.reshape(m_pad).astype(jnp.int32)
+    g_new = g.astype(F32) - dg
+    return _phase_c(spec, consts, vx, vei, g_new, track, u_snp, z2_snp, vargL,
+                    yadj_o.reshape(n), u_o.reshape(n))
+
+
+def _phase_c(spec, consts, vx, vei, g_new, track, u_snp, z2_snp, vargL,
+             yadj_out, u_out):
+    """Order-independent post-sweep state (shared by sweep variants)."""
+    mi = spec.model_index
+    act = vx > 0
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g_new * g_new, 0.0))
+    else:
+        vargi_acc = jnp.zeros((), F32)
+    if mi == 6:
+        ffold = consts["fold"][track]
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g_new * g_new / jnp.maximum(ffold, 1e-30), 0.0)
+        )
+    else:
+        vargR_acc = jnp.zeros((), F32)
+    if mi == 5:
+        lam2 = consts["lambda2"].astype(F32)
+        lam = jnp.sqrt(lam2)
+        ve = vei.astype(F32)
+        znew = z2_snp.astype(F32)
+        uu = u_snp.astype(F32)
+        mu_ig = jnp.sqrt(ve) * lam / jnp.maximum(jnp.abs(g_new), 1e-30)
+        y2 = znew * znew
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(uu <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL_new = jnp.where(act & ok, vargi, vargL.astype(F32))
+    else:
+        vargL_new = vargL.astype(F32)
+    return (g_new, track, vargL_new, yadj_out, u_out, vargi_acc, vargR_acc)
