@@ -199,6 +199,9 @@ def ibrm(
         _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw)
     t0 = time.time()
     rhat = None
+    # reference UX: per-printfreq progress rows (Bayes.cpp:884-914)
+    progress = progress or (verbose and printfreq > 0 and nchains == 1)
+    chunk_records = max(int(printfreq) // max(thin, 1), 1) if printfreq else 0
     if nchains > 1:
         state, samples, extras = G.run_chains(
             spec, gdata, pr, Pi, seed=seed, nchains=nchains
@@ -211,7 +214,8 @@ def ibrm(
         }
     else:
         state, samples, extras = G.run_chain(
-            spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint, progress=progress
+            spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint,
+            progress=progress, chunk_records=chunk_records,
         )
     elapsed = time.time() - t0
     if verbose:
