@@ -623,16 +623,31 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
         epsl_estR = new_e
 
     # --- the per-SNP blocked sweep ---
+    # Each stream has its own fold_in key, so skipping an unused stream leaves
+    # the consumed streams bit-identical.  chi (gamma rejection sampling) is by
+    # far the most expensive draw — only BayesA/B/Bpi (mi 2,3) consume it;
+    # u feeds spike/slab, mixture and inverse-Gaussian draws (mi 3,4,5,6);
+    # z2 feeds only BayesL's local shrinkage (mi 5).
     m_pad, B = spec.m_pad, spec.block
+    mi = spec.model_index
     z_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
-    u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
-    chi_snp = 2.0 * jax.random.gamma(
-        jax.random.fold_in(key, STREAM_SNP_CHI),
-        jnp.asarray((spec.dfvara + 1.0) / 2.0, dt),
-        (m_pad,),
-        dtype=dt,
-    )
-    z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+    if mi in (3, 4, 5, 6) or spec.reject_guard:
+        u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
+    else:
+        u_snp = jnp.full((m_pad,), 0.5, dt)
+    if mi in (2, 3):
+        chi_snp = 2.0 * jax.random.gamma(
+            jax.random.fold_in(key, STREAM_SNP_CHI),
+            jnp.asarray((spec.dfvara + 1.0) / 2.0, dt),
+            (m_pad,),
+            dtype=dt,
+        )
+    else:
+        chi_snp = jnp.ones((m_pad,), dt)
+    if mi == 5:
+        z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+    else:
+        z2_snp = jnp.zeros((m_pad,), dt)
 
     consts = {
         "varg": state.varg,
@@ -713,8 +728,38 @@ def _sweep_xla(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g, vargL_in,
     )
 
 
+def _recompute_residuals(spec: GibbsSpec, data: GibbsData, mu, beta, estR,
+                         k_estR, J_beta, epsl_estR, g):
+    """Exact recompute of (yadj, u) from the current effect estimates —
+    periodic f32 drift correction (the reference carries f64 residuals and
+    needs none; we trade one genotype matvec every resync_every iterations)."""
+    dt = data.y.dtype
+    n = spec.n
+    pred = jnp.zeros((n,), dt) + mu
+    if spec.nc:
+        pred = pred + jnp.matmul(data.C, beta, precision=HIGHEST)
+    for i in range(len(spec.nlevels)):
+        pred = pred + estR[i][data.r_codes[i]]
+    Xg = jnp.einsum(
+        "bnk,bk->n", data.X_blocks.astype(dt),
+        g.reshape(spec.nblocks, spec.block), precision=HIGHEST,
+    )
+    u_new = Xg
+    pred = pred + Xg
+    if spec.use_bslmm:
+        pred = pred + k_estR
+        u_new = u_new + k_estR
+    if spec.qe:
+        pred = pred + J_beta * data.epsl_yJ
+        u_new = u_new + J_beta * data.epsl_yJ
+        tail = epsl_estR[data.epsl_codes]
+        pred = pred.at[n - spec.ne:].add(tail)
+        u_new = u_new.at[n - spec.ne:].add(tail)
+    return data.y - pred, u_new
+
+
 def _post_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState, pre,
-                sweep_out) -> ChainState:
+                sweep_out, inline_resync: bool = True) -> ChainState:
     """Model-level variance / mixture updates, Vg/Ve draws, PIP/WPPA
     counters, drift resync, state assembly."""
     dt = data.y.dtype
@@ -758,30 +803,15 @@ def _post_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState, pre,
         wppa = wppa + jnp.where(post, win_any.astype(dt), 0.0)
 
     # --- periodic drift resync (f32 only; exact recompute of yadj and u) ---
-    if spec.resync_every and dt == jnp.float32:
+    # inline_resync=False in the multi-chain path: a vmapped lax.cond with a
+    # per-chain predicate lowers to select and would run the full-genotype
+    # recompute EVERY iteration; one_iteration_batch instead applies
+    # _recompute_residuals behind a scalar cond after the vmap.
+    if inline_resync and spec.resync_every and dt == jnp.float32:
         def resync(args):
-            yadj, u = args
-            pred = jnp.zeros((n,), dt) + mu
-            if spec.nc:
-                pred = pred + jnp.matmul(data.C, beta, precision=HIGHEST)
-            for i in range(nr):
-                pred = pred + estR[i][data.r_codes[i]]
-            Xg = jnp.einsum(
-                "bnk,bk->n", data.X_blocks.astype(dt),
-                g.reshape(spec.nblocks, B), precision=HIGHEST,
+            return _recompute_residuals(
+                spec, data, mu, beta, estR, k_estR, J_beta, epsl_estR, g
             )
-            u_new = Xg
-            pred = pred + Xg
-            if spec.use_bslmm:
-                pred = pred + k_estR
-                u_new = u_new + k_estR
-            if spec.qe:
-                pred = pred + J_beta * data.epsl_yJ
-                u_new = u_new + J_beta * data.epsl_yJ
-                tail = epsl_estR[data.epsl_codes]
-                pred = pred.at[n - spec.ne:].add(tail)
-                u_new = u_new.at[n - spec.ne:].add(tail)
-            return data.y - pred, u_new
 
         yadj, u = jax.lax.cond(
             (state.it % spec.resync_every) == spec.resync_every - 1,
@@ -930,7 +960,10 @@ def prepare_gibbs_data(
         X_blocks = M_j.reshape(n, nblocks, block).transpose(1, 0, 2)
         W_blocks = jnp.einsum("bnk,bnl->bkl", X_blocks, X_blocks, precision=HIGHEST)
         xpx = jnp.sum(M_j * M_j, axis=0)
-        vx = jnp.var(M_j, axis=0, ddof=1)
+        # centered two-pass variance: exact 0 for constant (monomorphic)
+        # columns, unlike the E[x^2]-E[x]^2 form which leaves rounding dust
+        Mc = M_j - jnp.mean(M_j, axis=0, keepdims=True)
+        vx = jnp.sum(Mc * Mc, axis=0) / (n - 1)
     real = jnp.arange(m_pad) < m
     vx = jnp.where(real, vx, 0.0)
 
@@ -1236,12 +1269,18 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
     pre = jax.vmap(lambda k, s: _pre_sweep(spec, data, k, s))(keys, states)
     K = int(states.it.shape[0])
 
-    if spec.use_pallas and blockgibbs.supports_mc(
-        spec, spec.n, K, dt, geno_itemsize=data.X_blocks.dtype.itemsize
+    itemsize = data.X_blocks.dtype.itemsize
+    use_t = spec.use_pallas and blockgibbs.supports_mc_t(
+        spec, spec.n, K, dt, geno_itemsize=itemsize
+    )
+    if use_t or (
+        spec.use_pallas
+        and blockgibbs.supports_mc(spec, spec.n, K, dt, geno_itemsize=itemsize)
     ):
         interp = jax.default_backend() == "cpu"
         z_b, u_b, chi_b, z2_b = pre["rnd"]
-        sweep_out = blockgibbs.sweep_mc(
+        sweep_fn = blockgibbs.sweep_mc_t if use_t else blockgibbs.sweep_mc
+        sweep_out = sweep_fn(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,
             pre["vargL_in"], pre["yadj"], pre["u"], interpret=interp,
@@ -1252,9 +1291,29 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
         )(pre["consts"], pre["rnd"], pre["vei"], states.g, pre["vargL_in"],
           pre["yadj"], pre["u"])
 
-    return jax.vmap(
-        lambda k, s, p, so: _post_sweep(spec, data, k, s, p, so)
+    new_states = jax.vmap(
+        lambda k, s, p, so: _post_sweep(spec, data, k, s, p, so, inline_resync=False)
     )(keys, states, pre, sweep_out)
+
+    # drift resync with a SCALAR predicate (all chains share the iteration
+    # counter); a vmapped per-chain cond would lower to select and run the
+    # full-genotype recompute every iteration
+    if spec.resync_every and dt == jnp.float32:
+        def do_resync(ss):
+            ya, uu = jax.vmap(
+                lambda s: _recompute_residuals(
+                    spec, data, s.mu, s.beta, s.estR, s.k_estR, s.J_beta,
+                    s.epsl_estR, s.g,
+                )
+            )(ss)
+            return ss._replace(yadj=ya, u=uu)
+
+        it_prev = new_states.it[0] - 1
+        new_states = jax.lax.cond(
+            (it_prev % spec.resync_every) == spec.resync_every - 1,
+            do_resync, lambda ss: ss, new_states,
+        )
+    return new_states
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -1308,12 +1367,14 @@ def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
 
     samples = dict(samples)
     samples["alpha"] = samples["alpha"][:, :, : spec.m]
+    # reductions on device, ndim checked without np.asarray: anything else
+    # ships the full (K, n_records, m) sample tensors across the host link
     extras = {
-        "pip": np.asarray(pip[:, : spec.m]).mean(axis=0),
-        "wppa": np.asarray(wppa).mean(axis=0),
+        "pip": np.asarray(pip[:, : spec.m].mean(axis=0)),
+        "wppa": np.asarray(wppa.mean(axis=0)),
         "nzct": nzct,
         "rhat": {k: gelman_rubin(np.asarray(v)) for k, v in samples.items()
-                 if np.asarray(v).ndim == 2},
+                 if getattr(v, "ndim", 0) == 2},
     }
     return states, samples, extras
 

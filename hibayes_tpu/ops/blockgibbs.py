@@ -551,6 +551,197 @@ def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
 
 
 # ---------------------------------------------------------------------------
+# transposed multi-chain sweep (v3): SNPs along SUBLANES, chains along LANES.
+# Every per-step quantity becomes a dynamic sublane row read — no masked lane
+# reductions — and the in-block residual update is one MXU outer product:
+#   r_local (B, K) += W[:, j] (B, 1) @ dg (1, K)
+# (W is symmetric so W[:, j] is read as row j).  Per sequential step:
+#   ~8 (1, K) VPU ops + one (B, K) MXU outer + one (B, K) add,
+# versus the (R*K, B) masked reduces of _kernel_mc.
+# ---------------------------------------------------------------------------
+
+
+_MICROBLOCK = 8
+
+
+def _kernel_mc_t(spec: GibbsSpec, n: int, B: int, R: int, K: int,
+                 logpi_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
+                 dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+                 r_local, dg_s, track_s):
+    b = pl.program_id(0)
+
+    # yadj/u live in the (constant-index-map) output buffers across blocks
+    @pl.when(b == 0)
+    def _():
+        yadj_out_ref[:] = yadj_in_ref[:]
+        u_out_ref[:] = u_in_ref[:]
+
+    Xb = X_ref[0].astype(F32)       # (n, B)
+    logpi0 = logpi_ref[:]           # (1, K)
+
+    # r0 = X_b' yadj' : (n, B)^T contracted with (K, n) -> (B, K)
+    r_local[:] = jax.lax.dot_general(
+        Xb, yadj_out_ref[:], (((0,), (1,)), ((), ())), preferred_element_type=F32
+    )
+    dg_s[:] = jnp.zeros((B, K), F32)
+    track_s[:] = jnp.zeros((B, K), F32)
+
+    # Fully unrolled (static slices), micro-blocked zero-tail correction:
+    # rows >= j of dg_s are still zero, so at each micro-block start ONE MXU
+    # matvec W[j0:j0+S, :] @ dg_s folds in every earlier draw's contribution;
+    # within the micro-block the few i<j terms are register-carried
+    # scalar-broadcast multiply-adds, keeping the sequential dependency chain
+    # at VREG level instead of VMEM/MXU round-trips per draw.
+    S = _MICROBLOCK
+    for j0 in range(0, B, S):
+        Wblk = W_ref[0, pl.ds(j0, S), :]        # (S, B) static slice
+        corr_blk = jax.lax.dot_general(
+            Wblk, dg_s[:], (((1,), (0,)), ((), ())), preferred_element_type=F32
+        )                                       # (S, K); rows >= j0 of dg_s are 0
+        carried = []
+        for t in range(S):
+            j = j0 + t
+            prow = P_ref[0, j]                  # (R, K)
+
+            def vals(r, prow=prow):
+                return prow[r, :].reshape(1, K)
+
+            rhs = r_local[j, :].reshape(1, K) + corr_blk[t, :].reshape(1, K) + vals(0)
+            for i, dgi in enumerate(carried):
+                rhs = rhs + W_ref[0, j, j0 + i] * dgi
+            gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+            dg = vals(1) - gi                   # (1, K)
+            dg_s[j, :] = dg.reshape(K)
+            if track is not None:
+                track_s[j, :] = track.reshape(K)
+            carried.append(dg)
+
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # delta (K, n) = dg' X_b' : contract the B axis
+    delta = jax.lax.dot_general(
+        dg_s[:], Xb, (((0,), (1,)), ((), ())), preferred_element_type=F32
+    )
+    yadj_out_ref[:] = yadj_out_ref[:] + delta
+    u_out_ref[:] = u_out_ref[:] - delta
+
+
+def supports_mc_t(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard or K < 1:
+        return False
+    R = 5 if spec.model_index in (3, 4) else (
+        3 + 4 * (spec.n_fold - 1) if spec.model_index == 6 else 4
+    )
+    R_pad = ((R + 7) // 8) * 8
+    vmem = (
+        n * spec.block * geno_itemsize * 2      # double-buffered X block
+        + n * spec.block * 4                    # f32 cast temp
+        + spec.block * spec.block * 4 * 2       # W
+        + K * n * 4 * 4                         # yadj/u in + out (resident)
+        + spec.block * R_pad * K * 4 * 2        # P blocks
+        + spec.block * K * 4 * 3                # r_local/dg/track scratch
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
+               g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
+               interpret=False):
+    """Transposed K-chain fused sweep; same inputs/outputs as `sweep_mc`."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    K = yadj_b.shape[0]
+    mi = spec.model_index
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return _pack_rows(spec, c, xpx, vx, vei, g, z, uu, chi)
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]  # (K, R, m_pad)
+    # (K, R, m_pad) -> (nblocks, B, R, K): SNP j of block b is one (R, K) tile
+    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
+
+    kern = functools.partial(_kernel_mc_t, spec, n, B, R, K)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nblocks, B, K), F32),
+        jax.ShapeDtypeStruct((nblocks, B, K), F32),
+        jax.ShapeDtypeStruct((K, n), F32),
+        jax.ShapeDtypeStruct((K, n), F32),
+    )
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            full((1, K)),                                                          # logpi0
+            pl.BlockSpec((1, B, R, K), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, K), F32),    # r_local
+            pltpu.VMEM((B, K), F32),    # dg_s
+            pltpu.VMEM((B, K), F32),    # track_s
+        ],
+        interpret=interpret,
+    )(
+        logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
+        yadj_b.astype(F32), u_vec_b.astype(F32),
+    )
+
+    dg = dg.transpose(2, 0, 1).reshape(K, m_pad)
+    track = track_f.transpose(2, 0, 1).reshape(K, m_pad).astype(jnp.int32)
+    g_new = g_b.astype(F32) - dg
+
+    act = vx > 0
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g_new * g_new, 0.0), axis=1)
+    else:
+        vargi_acc = jnp.zeros((K,), F32)
+    if mi == 6:
+        ffold = jax.vmap(lambda f, t: f[t])(consts_b["fold"], track)
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g_new * g_new / jnp.maximum(ffold, 1e-30), 0.0),
+            axis=1,
+        )
+    else:
+        vargR_acc = jnp.zeros((K,), F32)
+    if mi == 5:
+        lam2 = consts_b["lambda2"].astype(F32).reshape(K, 1)
+        lam = jnp.sqrt(lam2)
+        ve = vei_b.astype(F32)
+        znew = z2_b.astype(F32)
+        uu = u_b.astype(F32)
+        mu_ig = jnp.sqrt(ve) * lam / jnp.maximum(jnp.abs(g_new), 1e-30)
+        y2 = znew * znew
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(uu <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL_new = jnp.where(act[None, :] & ok, vargi, vargL_b.astype(F32))
+    else:
+        vargL_new = vargL_b.astype(F32)
+
+    return (g_new, track, vargL_new, yadj_o, u_o, vargi_acc, vargR_acc)
+
+
+# ---------------------------------------------------------------------------
 # summary-level fused sweep: one LD segment (chromosome), r_hat as the state
 # ---------------------------------------------------------------------------
 
