@@ -50,6 +50,36 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     return iters * m / elapsed, elapsed, iters
 
 
+def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
+    """Aggregate SNP-updates/s of the fused multi-chain kernel (K chains share
+    each genotype block; chains ride the VPU lanes, SNPs the sublanes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hibayes_tpu.engine import gibbs as G
+
+    rng = np.random.default_rng(0)
+    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
+    y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
+         + rng.normal(0, 1, n)).astype(np.float32)
+    pi = np.array([0.95, 0.05])
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=jnp.float32, geno_dtype="int8")
+    pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
+    spec = G.GibbsSpec(
+        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        nc=0, nlevels=(), n_fold=2, niter=niter, nburn=niter // 2, thin=5,
+        nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
+        dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
+        s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
+        use_pallas=jax.default_backend() != "cpu",
+    )
+    G.run_chains(spec, data, pr, pi, nchains=nchains, seed=1)  # compile
+    t0 = time.time()
+    G.run_chains(spec, data, pr, pi, nchains=nchains, seed=2)
+    elapsed = time.time() - t0
+    return spec.niter_eff * m * nchains / elapsed, elapsed
+
+
 def measure_reference_emulation(n, m, iters=3):
     """The reference hot loop shape: sequential per-SNP ddot + daxpy (BLAS-1)
     over a dense double genotype (src/Bayes.cpp:586-605)."""
@@ -78,13 +108,19 @@ def main():
     m = int(os.environ.get("BENCH_M", 65536))
     block = int(os.environ.get("BENCH_BLOCK", 128))
     niter = int(os.environ.get("BENCH_ITERS", 200))
+    nchains = int(os.environ.get("BENCH_CHAINS", 64))
 
-    ours, elapsed, iters = measure_engine(n, m, block, niter)
+    if nchains > 1:
+        ours, elapsed = measure_engine_mc(n, m, block, niter, nchains)
+        label = f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block}, chains={nchains})"
+    else:
+        ours, elapsed, iters = measure_engine(n, m, block, niter)
+        label = f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block})"
     base = measure_reference_emulation(min(n, 4096), min(m, 4096))
     print(
         json.dumps(
             {
-                "metric": f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block})",
+                "metric": label,
                 "value": round(ours, 1),
                 "unit": "SNP-updates/s",
                 "vs_baseline": round(ours / base, 3),
