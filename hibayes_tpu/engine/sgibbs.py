@@ -159,13 +159,25 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     n = spec.n
     key = jax.random.fold_in(base_key, state.it)
 
+    # stream keys are independent (fold_in), so unused streams can be skipped
+    # without changing the consumed ones (same policy as gibbs._pre_sweep)
+    mi = spec.model_index
     z_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
-    u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
-    chi_snp = 2.0 * jax.random.gamma(
-        jax.random.fold_in(key, STREAM_SNP_CHI),
-        jnp.asarray((spec.dfvara + 1.0) / 2.0, dt), (m_pad,), dtype=dt,
-    )
-    z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+    if mi in (3, 4, 5, 6) or spec.reject_guard:
+        u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
+    else:
+        u_snp = jnp.full((m_pad,), 0.5, dt)
+    if mi in (2, 3):
+        chi_snp = 2.0 * jax.random.gamma(
+            jax.random.fold_in(key, STREAM_SNP_CHI),
+            jnp.asarray((spec.dfvara + 1.0) / 2.0, dt), (m_pad,), dtype=dt,
+        )
+    else:
+        chi_snp = jnp.ones((m_pad,), dt)
+    if mi == 5:
+        z2_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+    else:
+        z2_snp = jnp.zeros((m_pad,), dt)
 
     # per-SNP residual variance: varediff*vara + vare (SBayesS.cpp:285);
     # varediff == 0 for dense LD reduces this to vare (SBayesD semantics).
