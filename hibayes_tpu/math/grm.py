@@ -9,14 +9,28 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def make_grm(M, lambda_=0.0, inverse=False, eigen=False, dtype=None):
-    M = jnp.asarray(M, dtype or jnp.result_type(M, jnp.float32))
-    Zc = M - jnp.mean(M, axis=0, keepdims=True)
-    G = jnp.matmul(Zc, Zc.T, precision=HIGHEST)
+    M_np = np.asarray(M)
+    out_dt = dtype or jnp.result_type(M_np, jnp.float32)
+    if np.issubdtype(M_np.dtype, np.integer) and M_np.dtype.itemsize == 1:
+        # int8 MXU fast path: Zc Zc' = MM' - v1' - 1v' + (mu.mu) 11' with
+        # MM' exact in int32 and the rank-1 mean corrections in out_dt
+        Mi = jnp.asarray(M_np)
+        S = jax.lax.dot_general(
+            Mi, Mi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(out_dt)
+        mu = jnp.mean(Mi.astype(out_dt), axis=0)
+        v = jnp.matmul(Mi.astype(out_dt), mu, precision=HIGHEST)
+        G = S - v[:, None] - v[None, :] + jnp.dot(mu, mu, precision=HIGHEST)
+    else:
+        Mj = jnp.asarray(M_np, out_dt)
+        Zc = Mj - jnp.mean(Mj, axis=0, keepdims=True)
+        G = jnp.matmul(Zc, Zc.T, precision=HIGHEST)
     G = G / jnp.mean(jnp.diag(G))
     if inverse:
         if lambda_:
