@@ -61,6 +61,7 @@ def ssbrm(
     block=64,
     dtype=jnp.float32,
     ainv_compat_hibayes=False,
+    nchains=1,
 ) -> BlrMod:
     if method == "BSLMM":
         raise ValueError("BSLMM is not supported for the single-step model.")
@@ -215,13 +216,26 @@ def ssbrm(
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
         dfr=pr.dfr, s2r=pr.s2r, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
         ne=ne if ne else 0, qe=qe if ne else 0,
+        use_pallas=dtype == jnp.float32 and jax.default_backend() != "cpu",
     )
     if verbose:
         _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw)
         print(f"    Observations with genotype {n - ne}")
         print(f"    Observations with imputed genotype {ne}")
     t0 = time.time()
-    state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed)
+    rhat = None
+    if nchains > 1:
+        state, samples, extras = G.run_chains(
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains
+        )
+        rhat = extras.get("rhat")
+        # flatten (nchains, records, ...) -> (nchains*records, ...)
+        samples = {
+            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            for k, v in samples.items()
+        }
+    else:
+        state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed)
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s")
@@ -294,4 +308,5 @@ def ssbrm(
         epsilon={"id": Mn_id, "epsilon": s["epsilon"].mean(axis=0)} if ne else None,
         MCMCsamples=s,
     )
+    res.rhat = rhat
     return res

@@ -139,6 +139,19 @@ def test_ssbrm_demo(demo):
     assert len(fit.e["id"]) == 500  # all 500 phenotyped ids are in pedigree
 
 
+def test_ssbrm_multichain(demo):
+    bin_, pheno, (pid, ps, pd_) = demo
+    fit = ssbrm(
+        "T1~sex+(1|loc)", data=pheno, M=bin_["geno"].values, M_id=bin_["fam"][1],
+        pedigree={"id": pid, "sire": ps, "dam": pd_},
+        method="BayesCpi", niter=300, nburn=150, verbose=False, nchains=2,
+    )
+    assert fit.rhat is not None and "Ve" in fit.rhat
+    assert np.isfinite(fit.g["gebv"]).all()
+    # 2 chains x 15 records flattened
+    assert fit.MCMCsamples["Vg"].shape[0] == 2 * (300 - 150) // 5
+
+
 def test_ssbrm_synthetic_prediction():
     """Non-genotyped relatives' GEBV should correlate with their true
     breeding values through the pedigree."""
