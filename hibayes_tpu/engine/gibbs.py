@@ -1270,16 +1270,24 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
     K = int(states.it.shape[0])
 
     itemsize = data.X_blocks.dtype.itemsize
-    use_t = spec.use_pallas and blockgibbs.supports_mc_t(
-        spec, spec.n, K, dt, geno_itemsize=itemsize
-    )
-    if use_t or (
-        spec.use_pallas
-        and blockgibbs.supports_mc(spec, spec.n, K, dt, geno_itemsize=itemsize)
-    ):
-        interp = jax.default_backend() == "cpu"
+    interp = jax.default_backend() == "cpu"
+    sweep_fn = None
+    if spec.use_pallas:
+        # preference: transposed (X block resident) > chunked-n transposed
+        # (X streamed from HBM, large n; DMA not available in interpret mode)
+        # > masked-reduce > vmapped XLA scan
+        candidates = [
+            (blockgibbs.sweep_mc_t, blockgibbs.supports_mc_t),
+        ]
+        if not interp:
+            candidates.append((blockgibbs.sweep_mc_tc, blockgibbs.supports_mc_tc))
+        candidates.append((blockgibbs.sweep_mc, blockgibbs.supports_mc))
+        for fn, ok in candidates:
+            if ok(spec, spec.n, K, dt, geno_itemsize=itemsize):
+                sweep_fn = fn
+                break
+    if sweep_fn is not None:
         z_b, u_b, chi_b, z2_b = pre["rnd"]
-        sweep_fn = blockgibbs.sweep_mc_t if use_t else blockgibbs.sweep_mc
         sweep_out = sweep_fn(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,

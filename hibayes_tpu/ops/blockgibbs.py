@@ -564,34 +564,14 @@ def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
 _MICROBLOCK = 8
 
 
-def _kernel_mc_t(spec: GibbsSpec, n: int, B: int, R: int, K: int,
-                 logpi_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
-                 dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
-                 r_local, dg_s, track_s):
-    b = pl.program_id(0)
-
-    # yadj/u live in the (constant-index-map) output buffers across blocks
-    @pl.when(b == 0)
-    def _():
-        yadj_out_ref[:] = yadj_in_ref[:]
-        u_out_ref[:] = u_in_ref[:]
-
-    Xb = X_ref[0].astype(F32)       # (n, B)
-    logpi0 = logpi_ref[:]           # (1, K)
-
-    # r0 = X_b' yadj' : (n, B)^T contracted with (K, n) -> (B, K)
-    r_local[:] = jax.lax.dot_general(
-        Xb, yadj_out_ref[:], (((0,), (1,)), ((), ())), preferred_element_type=F32
-    )
-    dg_s[:] = jnp.zeros((B, K), F32)
-    track_s[:] = jnp.zeros((B, K), F32)
-
-    # Fully unrolled (static slices), micro-blocked zero-tail correction:
-    # rows >= j of dg_s are still zero, so at each micro-block start ONE MXU
-    # matvec W[j0:j0+S, :] @ dg_s folds in every earlier draw's contribution;
-    # within the micro-block the few i<j terms are register-carried
-    # scalar-broadcast multiply-adds, keeping the sequential dependency chain
-    # at VREG level instead of VMEM/MXU round-trips per draw.
+def _unrolled_draws(spec: GibbsSpec, B: int, K: int, logpi0,
+                    P_ref, W_ref, r_local, dg_s, track_s):
+    """Fully unrolled (static slices), micro-blocked zero-tail correction:
+    rows >= j of dg_s are still zero, so at each micro-block start ONE MXU
+    matvec W[j0:j0+S, :] @ dg_s folds in every earlier draw's contribution;
+    within the micro-block the few i<j terms are register-carried
+    scalar-broadcast multiply-adds, keeping the sequential dependency chain
+    at VREG level instead of VMEM/MXU round-trips per draw."""
     S = _MICROBLOCK
     for j0 in range(0, B, S):
         Wblk = W_ref[0, pl.ds(j0, S), :]        # (S, B) static slice
@@ -615,6 +595,31 @@ def _kernel_mc_t(spec: GibbsSpec, n: int, B: int, R: int, K: int,
             if track is not None:
                 track_s[j, :] = track.reshape(K)
             carried.append(dg)
+
+
+def _kernel_mc_t(spec: GibbsSpec, n: int, B: int, R: int, K: int,
+                 logpi_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
+                 dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+                 r_local, dg_s, track_s):
+    b = pl.program_id(0)
+
+    # yadj/u live in the (constant-index-map) output buffers across blocks
+    @pl.when(b == 0)
+    def _():
+        yadj_out_ref[:] = yadj_in_ref[:]
+        u_out_ref[:] = u_in_ref[:]
+
+    Xb = X_ref[0].astype(F32)       # (n, B)
+    logpi0 = logpi_ref[:]           # (1, K)
+
+    # r0 = X_b' yadj' : (n, B)^T contracted with (K, n) -> (B, K)
+    r_local[:] = jax.lax.dot_general(
+        Xb, yadj_out_ref[:], (((0,), (1,)), ((), ())), preferred_element_type=F32
+    )
+    dg_s[:] = jnp.zeros((B, K), F32)
+    track_s[:] = jnp.zeros((B, K), F32)
+
+    _unrolled_draws(spec, B, K, logpi0, P_ref, W_ref, r_local, dg_s, track_s)
 
     dg_out_ref[0] = dg_s[:]
     track_out_ref[0] = track_s[:]
@@ -706,7 +711,191 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
     dg = dg.transpose(2, 0, 1).reshape(K, m_pad)
     track = track_f.transpose(2, 0, 1).reshape(K, m_pad).astype(jnp.int32)
     g_new = g_b.astype(F32) - dg
+    return _phase_c_mc(spec, consts_b, vx, vei_b, g_new, track, u_b, z2_b,
+                       vargL_b, yadj_o, u_o)
 
+
+# ---------------------------------------------------------------------------
+# chunked-n transposed multi-chain sweep: X stays in HBM and streams through
+# VMEM in double-buffered (C, B) chunks — lifts the "X block fits VMEM" limit
+# so large-n cohorts (the 50k x 500k target) keep the fused-kernel speed
+# ---------------------------------------------------------------------------
+
+MC_CHUNK_N = 2048
+
+
+def _pick_chunk(n: int) -> int:
+    """Largest divisor of n that is <= MC_CHUNK_N and a multiple of 8
+    (sublane alignment); 0 if none >= 512 exists."""
+    best = 0
+    c = 8
+    while c <= MC_CHUNK_N:
+        if n % c == 0:
+            best = c
+        c += 8
+    return best if best >= 512 else 0
+
+
+def _kernel_mc_tc(spec: GibbsSpec, n: int, B: int, R: int, K: int, C: int,
+                  logpi_ref, P_ref, X_hbm, W_ref, yadj_in_ref, u_in_ref,
+                  dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+                  r_local, dg_s, track_s, xbuf, sem):
+    b = pl.program_id(0)
+    nchunks = n // C
+
+    @pl.when(b == 0)
+    def _():
+        yadj_out_ref[:] = yadj_in_ref[:]
+        u_out_ref[:] = u_in_ref[:]
+
+    logpi0 = logpi_ref[:]           # (1, K)
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            X_hbm.at[b, pl.ds(c * C, C), :], xbuf.at[slot], sem.at[slot]
+        )
+
+    # ---- pass 1: r0 = sum_c X[c]' yadj[:, c]' ----
+    chunk_dma(0, 0).start()
+    r_local[:] = jnp.zeros((B, K), F32)
+
+    def p1(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma((c + 1) % 2, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        Xc = xbuf[slot].astype(F32)                 # (C, B)
+        ya = yadj_out_ref[:, pl.ds(c * C, C)]       # (K, C)
+        r_local[:] = r_local[:] + jax.lax.dot_general(
+            Xc, ya, (((0,), (1,)), ((), ())), preferred_element_type=F32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p1, 0)
+
+    # ---- sequential draws ----
+    dg_s[:] = jnp.zeros((B, K), F32)
+    track_s[:] = jnp.zeros((B, K), F32)
+    _unrolled_draws(spec, B, K, logpi0, P_ref, W_ref, r_local, dg_s, track_s)
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # ---- pass 2: yadj[:, c] += dg' X[c]' ; u[:, c] -= ----
+    chunk_dma(0, 0).start()
+
+    def p2(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma((c + 1) % 2, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        Xc = xbuf[slot].astype(F32)                 # (C, B)
+        delta = jax.lax.dot_general(
+            dg_s[:], Xc, (((0,), (1,)), ((), ())), preferred_element_type=F32
+        )                                           # (K, C)
+        yadj_out_ref[:, pl.ds(c * C, C)] = yadj_out_ref[:, pl.ds(c * C, C)] + delta
+        u_out_ref[:, pl.ds(c * C, C)] = u_out_ref[:, pl.ds(c * C, C)] - delta
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p2, 0)
+
+
+def supports_mc_tc(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard or K < 1:
+        return False
+    C = _pick_chunk(n)
+    if C == 0 or n <= C:
+        return False
+    R = 5 if spec.model_index in (3, 4) else (
+        3 + 4 * (spec.n_fold - 1) if spec.model_index == 6 else 4
+    )
+    R_pad = ((R + 7) // 8) * 8
+    vmem = (
+        2 * C * spec.block * geno_itemsize      # double-buffered X chunks
+        + C * spec.block * 4                    # f32 cast temp
+        + spec.block * spec.block * 4 * 2       # W
+        + K * n * 4 * 4                         # yadj/u in + out (resident)
+        + spec.block * R_pad * K * 4 * 2        # P blocks
+        + spec.block * K * 4 * 3                # r_local/dg/track
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
+                g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
+                interpret=False):
+    """Chunked-n transposed K-chain sweep; X stays in HBM."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    K = yadj_b.shape[0]
+    C = _pick_chunk(n)
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return _pack_rows(spec, c, xpx, vx, vei, g, z, uu, chi)
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]
+    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
+
+    kern = functools.partial(_kernel_mc_tc, spec, n, B, R, K, C)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            full((1, K)),
+            pl.BlockSpec((1, B, R, K), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),                                # X in HBM
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, B, K), F32),
+            jax.ShapeDtypeStruct((nblocks, B, K), F32),
+            jax.ShapeDtypeStruct((K, n), F32),
+            jax.ShapeDtypeStruct((K, n), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((2, C, B), X_blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
+        yadj_b.astype(F32), u_vec_b.astype(F32),
+    )
+
+    dg = dg.transpose(2, 0, 1).reshape(K, m_pad)
+    track = track_f.transpose(2, 0, 1).reshape(K, m_pad).astype(jnp.int32)
+    g_new = g_b.astype(F32) - dg
+    return _phase_c_mc(spec, consts_b, vx, vei_b, g_new, track, u_b, z2_b,
+                       vargL_b, yadj_o, u_o)
+
+
+def _phase_c_mc(spec, consts_b, vx, vei_b, g_new, track, u_b, z2_b, vargL_b,
+                yadj_o, u_o):
+    """Order-independent post-sweep state for the K-chain sweeps."""
+    mi = spec.model_index
+    K = g_new.shape[0]
     act = vx > 0
     if mi == 4:
         vargi_acc = jnp.sum(jnp.where(track == 1, g_new * g_new, 0.0), axis=1)
@@ -737,7 +926,6 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
         vargL_new = jnp.where(act[None, :] & ok, vargi, vargL_b.astype(F32))
     else:
         vargL_new = vargL_b.astype(F32)
-
     return (g_new, track, vargL_new, yadj_o, u_o, vargi_acc, vargR_acc)
 
 
