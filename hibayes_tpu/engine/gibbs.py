@@ -941,13 +941,20 @@ def prepare_gibbs_data(
         Mi = np.zeros((n, m_pad), dtype=np.int8)
         Mi[:, :m] = M_np.astype(np.int8)
         X_blocks = jnp.asarray(Mi.reshape(n, nblocks, block).transpose(1, 0, 2))
-        # exact integer Gram on the MXU, cast to f32 (exact below 2^24)
-        W_i32 = jax.lax.dot_general(
-            X_blocks, X_blocks,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )
-        W_blocks = W_i32.astype(dtype)
+
+        # exact integer Gram on the MXU, cast to f32 (exact below 2^24).
+        # Single-argument jit so both dot operands alias ONE device buffer —
+        # passing X twice at the primitive level counts the (possibly tens of
+        # GB) genotype twice against HBM.
+        @jax.jit
+        def _block_grams(Xb):
+            return jax.lax.dot_general(
+                Xb, Xb,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(dtype)
+
+        W_blocks = _block_grams(X_blocks)
         s1 = Mi.astype(np.int64).sum(axis=0)
         s2 = (Mi.astype(np.int64) ** 2).sum(axis=0)
         xpx = jnp.asarray(s2, dtype)

@@ -295,6 +295,206 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     )
 
 
+def _s_finish(spec: GibbsSpec, data: SGibbsData, key, state: SChainState,
+              g, track, vargL, r_hat, vargi_acc, vargR_acc) -> SChainState:
+    """Post-sweep global updates shared by all summary sweep variants:
+    mixture/variance hyper-updates, Vg/Ve quadratic-form draws with the
+    negative-Ve guard (SBayesD.cpp:458-468), PIP/WPPA counters."""
+    dt = data.xy.dtype
+    n = spec.n
+
+    varg, pi, vara_fold, lambda2 = alphabet_global_updates(
+        spec, key, g, track, data.real, data.fold,
+        vargi_acc, vargR_acc, vargL if state.vargL.size else jnp.zeros_like(g),
+        state.varg, state.pi, state.vara_fold, state.lambda2,
+    )
+    kvara = jax.random.fold_in(key, 31)
+    chi_a = 2.0 * jax.random.gamma(kvara, jnp.asarray((n + spec.dfvara) / 2.0, dt), dtype=dt)
+    vara = (jnp.dot(g, data.xy - r_hat, precision=HIGHEST) + spec.s2vara * spec.dfvara) / chi_a
+    kve = jax.random.fold_in(key, STREAM_VE)
+    chi_e = 2.0 * jax.random.gamma(kve, jnp.asarray((n + spec.dfvare) / 2.0, dt), dtype=dt)
+    vare = (data.yy - jnp.dot(g, data.xy + r_hat, precision=HIGHEST)
+            + spec.s2vare * spec.dfvare) / chi_e
+    vare = jnp.where(vare < 0, 0.5 * vara, vare)
+
+    post = state.it >= spec.nburn
+    nz = (track > 0) & data.real
+    nzrate = state.nzrate + jnp.where(post, nz.astype(dt), 0.0)
+    wppa = state.wppa
+    if spec.nw:
+        win_any = jax.ops.segment_max(
+            nz.astype(jnp.int32), data.windindx0, num_segments=spec.nw + 1
+        )[: spec.nw]
+        wppa = wppa + jnp.where(post, win_any.astype(dt), 0.0)
+
+    return SChainState(
+        it=state.it + 1, r_hat=r_hat, g=g, varg=varg,
+        vargL=vargL if state.vargL.size else state.vargL,
+        lambda2=lambda2, pi=pi, vara_fold=vara_fold, vara=vara, vare=vare,
+        track=track, nzrate=nzrate, wppa=wppa,
+    )
+
+
+def blockgibbs_supports_s_t(spec: GibbsSpec, K: int, dt) -> bool:
+    from ..ops import blockgibbs
+
+    return blockgibbs.supports_s_t(spec, spec.seg_sizes, K, dt)
+
+
+def one_s_iteration_batch(spec: GibbsSpec, data: SGibbsData, chain_keys, states):
+    """One iteration of K summary chains: the transposed Pallas segment sweep
+    runs all chains on the VPU lanes; RNG and global updates vmap."""
+    from ..ops import blockgibbs
+
+    dt = data.xy.dtype
+    B = spec.block
+    m_pad = spec.m_pad
+    mi = spec.model_index
+    K = int(states.it.shape[0])
+
+    use_t = spec.use_pallas and blockgibbs_supports_s_t(spec, K, dt)
+    if not use_t:
+        # vmapped scalar-chain fallback (covers the rejection guard and f64;
+        # force the XLA scan inside so nothing pallas gets vmapped)
+        spec_x = (
+            spec if not spec.use_pallas
+            else GibbsSpec(**{**spec.__dict__, "use_pallas": False})
+        )
+        return jax.vmap(
+            lambda ck, st: one_s_iteration(spec_x, data, ck, st)
+        )(chain_keys, states)
+
+    keys = jax.vmap(lambda k, it: jax.random.fold_in(k, it))(chain_keys, states.it)
+
+    def pre_one(key, state):
+        z = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
+        if mi in (3, 4, 5, 6) or spec.reject_guard:
+            u = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
+        else:
+            u = jnp.full((m_pad,), 0.5, dt)
+        if mi in (2, 3):
+            chi = 2.0 * jax.random.gamma(
+                jax.random.fold_in(key, STREAM_SNP_CHI),
+                jnp.asarray((spec.dfvara + 1.0) / 2.0, dt), (m_pad,), dtype=dt,
+            )
+        else:
+            chi = jnp.ones((m_pad,), dt)
+        if mi == 5:
+            z2 = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z2), (m_pad,), dtype=dt)
+        else:
+            z2 = jnp.zeros((m_pad,), dt)
+        vei = data.varediff * state.vara + state.vare
+        consts = {
+            "varg": state.varg,
+            "s2varg_df": jnp.asarray(spec.s2varg * spec.dfvara, dt),
+            "logpi": jnp.log(state.pi),
+            "lambda2": state.lambda2,
+            "vara_fold": state.vara_fold,
+            "fold": data.fold,
+            "vary": jnp.asarray(spec.vary, dt),
+            "reject_key": jax.random.fold_in(key, 99),
+        }
+        vargL_full = state.vargL if state.vargL.size else jnp.zeros((m_pad,), dt)
+        return consts, vei, vargL_full, (z, u, chi, z2)
+
+    consts_b, vei_b, vargL_b, rnd_b = jax.vmap(pre_one)(keys, states)
+    z_b, u_b, chi_b, z2_b = rnd_b
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return blockgibbs._pack_rows(
+            spec, c, data.xpx, data.vx, vei, g, z, uu, chi
+        )
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, states.g, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]  # (K, R, m_pad)
+
+    interp = jax.default_backend() == "cpu"
+    r_hat_b = states.r_hat  # (K, m_pad)
+    dg_parts, track_parts = [], []
+    off = 0
+    for seg_i, mc in enumerate(spec.seg_sizes):
+        nblocks = mc // B
+        P_seg = jax.lax.dynamic_slice(P, (0, 0, off), (K, R, mc))
+        P_blocks = P_seg.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+        r_seg = jax.lax.dynamic_slice(r_hat_b, (0, off), (K, mc))
+        dg_seg, track_seg, r_new = blockgibbs.sweep_s_segment_t(
+            spec, consts_b, data.ld_segs[seg_i], r_seg, P_blocks, spec.n,
+            interpret=interp,
+        )
+        r_hat_b = jax.lax.dynamic_update_slice(
+            r_hat_b, r_new.astype(dt), (0, off)
+        )
+        dg_parts.append(dg_seg)
+        track_parts.append(track_seg)
+        off += mc
+
+    dg = jnp.concatenate(dg_parts, axis=1).astype(dt)   # (K, m_pad)
+    track = jnp.concatenate(track_parts, axis=1)
+    g_b = states.g - dg
+
+    (g_b, track, vargL_new, _, _, vargi_acc, vargR_acc) = blockgibbs._phase_c_mc(
+        spec, consts_b, data.vx, vei_b, g_b, track, u_b, z2_b, vargL_b,
+        jnp.zeros((K, 1), dt), jnp.zeros((K, 1), dt),
+    )
+
+    return jax.vmap(
+        lambda k, s, g, t, vl, rh, vi, vr: _s_finish(spec, data, k, s, g, t, vl, rh, vi, vr)
+    )(keys, states, g_b, track, vargL_new, r_hat_b, vargi_acc, vargR_acc)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _run_all_s_multi(spec: GibbsSpec, data: SGibbsData, chain_keys, states):
+    step = lambda ss: one_s_iteration_batch(spec, data, chain_keys, ss)
+    states = jax.lax.fori_loop(0, spec.nburn, lambda i, ss: step(ss), states)
+
+    def record_body(ss, _):
+        ss = jax.lax.fori_loop(0, spec.thin, lambda i, s2: step(s2), ss)
+        return ss, jax.vmap(lambda s1: _s_snapshot(spec, s1))(ss)
+
+    states, samples = jax.lax.scan(record_body, states, None, length=spec.n_records)
+    samples = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), samples)
+    return states, samples
+
+
+def run_s_chains(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
+                 seed=666666, nchains=4):
+    """K independent summary chains with split-R-hat diagnostics; the
+    transposed segment kernel runs every chain's sequential sweep on the VPU
+    lanes of one grid pass (the reference runs a single chain only)."""
+    from .gibbs import gelman_rubin
+
+    base = jax.random.PRNGKey(seed)
+    chain_keys = jax.random.split(base, nchains)
+    state0 = init_s_state(spec, data, priors, pi_init)
+    states0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (nchains,) + x.shape), state0
+    )
+    states, samples = _run_all_s_multi(spec, data, chain_keys, states0)
+    states, samples = jax.block_until_ready((states, samples))
+
+    nzct = spec.n_records * spec.thin
+    pip = states.nzrate / nzct
+    pip = jnp.where(pip >= 1.0, (nzct - 1.0) / nzct, pip)
+    if spec.model_index in (1, 2, 5):
+        pip = jnp.ones_like(pip)
+    wppa = states.wppa / nzct
+    wppa = jnp.where(wppa >= 1.0, (nzct - 1.0) / nzct, wppa)
+
+    samples = dict(samples)
+    real_cols = segment_unpad_index(spec)
+    samples["alpha"] = np.asarray(samples["alpha"])[:, :, real_cols]
+    extras = {
+        "pip": np.asarray(pip.mean(axis=0))[real_cols],
+        "wppa": np.asarray(wppa.mean(axis=0)),
+        "nzct": nzct,
+        "rhat": {k: gelman_rubin(np.asarray(v)) for k, v in samples.items()
+                 if getattr(v, "ndim", 0) == 2},
+    }
+    return states, samples, extras
+
+
 def init_s_state(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init) -> SChainState:
     dt = data.xy.dtype
     m_pad = spec.m_pad

@@ -68,6 +68,7 @@ def sbrm(
     verbose=True,
     block=64,
     dtype=jnp.float32,
+    nchains=1,
 ) -> BlrMod:
     if method not in S_METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {S_METHODS}")
@@ -119,7 +120,18 @@ def sbrm(
         print(f"    Phenotypic var {vary:.5f}")
         print(f"    Total iterations {niter}, burn-in {nburn}")
     t0 = time.time()
-    state, samples, extras = SG.run_s_chain(spec, data, pr, Pi, seed=seed)
+    rhat = None
+    if nchains > 1:
+        state, samples, extras = SG.run_s_chains(
+            spec, data, pr, Pi, seed=seed, nchains=nchains
+        )
+        rhat = extras.get("rhat")
+        samples = {
+            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            for k, v in samples.items()
+        }
+    else:
+        state, samples, extras = SG.run_s_chain(spec, data, pr, Pi, seed=seed)
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s "
@@ -144,6 +156,7 @@ def sbrm(
         gwas=gwas,
         MCMCsamples=s,
     )
+    res.rhat = rhat
     return res
 
 

@@ -565,16 +565,25 @@ _MICROBLOCK = 8
 
 
 def _unrolled_draws(spec: GibbsSpec, B: int, K: int, logpi0,
-                    P_ref, W_ref, r_local, dg_s, track_s):
+                    P_ref, W_ref, r_local, dg_s, track_s,
+                    wslice=None, wscal=None):
     """Fully unrolled (static slices), micro-blocked zero-tail correction:
     rows >= j of dg_s are still zero, so at each micro-block start ONE MXU
     matvec W[j0:j0+S, :] @ dg_s folds in every earlier draw's contribution;
     within the micro-block the few i<j terms are register-carried
     scalar-broadcast multiply-adds, keeping the sequential dependency chain
-    at VREG level instead of VMEM/MXU round-trips per draw."""
+    at VREG level instead of VMEM/MXU round-trips per draw.
+
+    wslice(j0, S) -> (S, B) Gram rows and wscal(j, i) -> scalar W[j, i]
+    default to reading W_ref directly; the summary kernel passes accessors
+    that scale the LD diagonal block by n on the fly."""
+    if wslice is None:
+        wslice = lambda j0, S: W_ref[0, pl.ds(j0, S), :]
+    if wscal is None:
+        wscal = lambda j, i: W_ref[0, j, i]
     S = _MICROBLOCK
     for j0 in range(0, B, S):
-        Wblk = W_ref[0, pl.ds(j0, S), :]        # (S, B) static slice
+        Wblk = wslice(j0, S)                    # (S, B) static slice
         corr_blk = jax.lax.dot_general(
             Wblk, dg_s[:], (((1,), (0,)), ((), ())), preferred_element_type=F32
         )                                       # (S, K); rows >= j0 of dg_s are 0
@@ -588,7 +597,7 @@ def _unrolled_draws(spec: GibbsSpec, B: int, K: int, logpi0,
 
             rhs = r_local[j, :].reshape(1, K) + corr_blk[t, :].reshape(1, K) + vals(0)
             for i, dgi in enumerate(carried):
-                rhs = rhs + W_ref[0, j, j0 + i] * dgi
+                rhs = rhs + wscal(j, j0 + i) * dgi
             gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
             dg = vals(1) - gi                   # (1, K)
             dg_s[j, :] = dg.reshape(K)
@@ -1047,6 +1056,113 @@ def sweep_s_segment(spec: GibbsSpec, consts, LD_seg, r_seg, P_seg_blocks,
         r_seg.astype(F32).reshape(1, mc),
     )
     return dg.reshape(mc), track_f.reshape(mc).astype(jnp.int32), r_new.reshape(mc)
+
+
+# ---------------------------------------------------------------------------
+# transposed multi-chain summary-segment sweep: r_hat state as (mc, K) with
+# chains on lanes; same unrolled zero-tail draws as the individual kernel,
+# the Gram rows read on the fly from the LD column block scaled by n
+# ---------------------------------------------------------------------------
+
+
+def _kernel_s_block_t(spec: GibbsSpec, B: int, R: int, K: int,
+                      logpi_ref, P_ref, W_ref, r0_ref,
+                      dg_out_ref, track_out_ref, r_local, dg_s, track_s):
+    """One block of B sequential draws for K chains (chains on lanes).  The
+    (K, mc) r_hat state lives OUTSIDE in XLA (a (mc, K) VMEM-resident state
+    would pad the K lanes to 128 and blow VMEM for chromosome-sized
+    segments); this kernel only ever holds (B, *) tiles."""
+    logpi0 = logpi_ref[:]
+    r_local[:] = r0_ref[:]
+    dg_s[:] = jnp.zeros((B, K), F32)
+    track_s[:] = jnp.zeros((B, K), F32)
+    _unrolled_draws(spec, B, K, logpi0, P_ref, W_ref, r_local, dg_s, track_s)
+    dg_out_ref[:] = dg_s[:]
+    track_out_ref[:] = track_s[:]
+
+
+def supports_s_t(spec: GibbsSpec, seg_sizes, K: int, dtype) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard or K < 1:
+        return False
+    if not seg_sizes:
+        return False
+    # per-block kernel holds only (B, *) tiles with the K lanes padded to 128
+    R = 5 if spec.model_index in (3, 4) else (
+        3 + 4 * (spec.n_fold - 1) if spec.model_index == 6 else 4
+    )
+    R_pad = ((R + 7) // 8) * 8
+    K_lane = ((K + 127) // 128) * 128
+    vmem = (
+        spec.block * R_pad * K_lane * 4 * 2
+        + spec.block * spec.block * 4 * 2
+        + spec.block * K_lane * 4 * 5
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def _s_block_draws(spec: GibbsSpec, logpi_row, P_b, Wn, r0, interpret=False):
+    """(dg, track) for one block: P_b (B, R, K), Wn (B, B), r0 (B, K)."""
+    B = Wn.shape[0]
+    R = P_b.shape[1]
+    K = r0.shape[1]
+    kern = functools.partial(_kernel_s_block_t, spec, B, R, K)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dg, track_f = pl.pallas_call(
+        kern,
+        in_specs=[vmem(), vmem(), vmem(), vmem()],
+        out_specs=(vmem(), vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K), F32),
+            jax.ShapeDtypeStruct((B, K), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+        ],
+        interpret=interpret,
+    )(logpi_row, P_b.reshape(1, B, R, K), Wn.reshape(1, B, B), r0)
+    return dg, track_f
+
+
+def sweep_s_segment_t(spec: GibbsSpec, consts_b, LD_seg, r_seg_kb, P_seg_blocks,
+                      n: int, interpret=False):
+    """Transposed K-chain sweep of one padded LD segment: XLA scan over
+    blocks owns the (K, mc) r_hat state (rank-B updates as one matmul per
+    block, SBayesD.cpp:264-267), the per-block Pallas kernel runs the B
+    sequential draws for all chains on the VPU lanes.
+
+    LD_seg (mc, mc); r_seg_kb (K, mc); P_seg_blocks (nblocks, B, R, K).
+    Returns (dg (K, mc), track (K, mc), r_seg_new (K, mc))."""
+    mc = LD_seg.shape[0]
+    B = spec.block
+    nblocks = mc // B
+    K = r_seg_kb.shape[0]
+    logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
+    LD32 = LD_seg.astype(F32)
+    nf32 = jnp.float32(n)
+
+    def body(r_seg, xs):
+        b, P_b = xs
+        Wn = jax.lax.dynamic_slice(LD32, (b * B, b * B), (B, B)) * nf32
+        r0 = jax.lax.dynamic_slice(r_seg, (0, b * B), (K, B)).T  # (B, K)
+        dg, track = _s_block_draws(spec, logpi_row, P_b, Wn, r0,
+                                   interpret=interpret)
+        cols = jax.lax.dynamic_slice(LD32, (0, b * B), (mc, B))  # (mc, B)
+        upd = jax.lax.dot_general(
+            dg, cols, (((0,), (1,)), ((), ())),
+            preferred_element_type=F32,
+        )                                                         # (K, mc)
+        return r_seg + nf32 * upd, (dg, track)
+
+    r_new, (dgs, tracks) = jax.lax.scan(
+        body, r_seg_kb.astype(F32),
+        (jnp.arange(nblocks), P_seg_blocks),
+    )
+    # (nblocks, B, K) -> (K, mc)
+    dg = dgs.transpose(2, 0, 1).reshape(K, mc)
+    track = tracks.transpose(2, 0, 1).reshape(K, mc).astype(jnp.int32)
+    return dg, track, r_new
 
 
 # ---------------------------------------------------------------------------
