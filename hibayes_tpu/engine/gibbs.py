@@ -938,8 +938,11 @@ def prepare_gibbs_data(
         if not np.issubdtype(M_np.dtype, np.integer):
             if not np.all(M_np == np.round(M_np)):
                 raise ValueError("geno_dtype='int8' requires integer genotype codes")
-        Mi = np.zeros((n, m_pad), dtype=np.int8)
-        Mi[:, :m] = M_np.astype(np.int8)
+        if m_pad == m and M_np.dtype == np.int8:
+            Mi = np.ascontiguousarray(M_np)
+        else:
+            Mi = np.zeros((n, m_pad), dtype=np.int8)
+            Mi[:, :m] = M_np.astype(np.int8)
         X_blocks = jnp.asarray(Mi.reshape(n, nblocks, block).transpose(1, 0, 2))
 
         # exact integer Gram on the MXU, cast to f32 (exact below 2^24).
@@ -947,19 +950,25 @@ def prepare_gibbs_data(
         # passing X twice at the primitive level counts the (possibly tens of
         # GB) genotype twice against HBM.
         @jax.jit
-        def _block_grams(Xb):
-            return jax.lax.dot_general(
+        def _block_grams_and_sums(Xb):
+            W = jax.lax.dot_general(
                 Xb, Xb,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
-            ).astype(dtype)
+            )
+            s1 = jnp.sum(Xb.astype(jnp.int32), axis=1)  # (nblocks, block)
+            return W.astype(dtype), s1
 
-        W_blocks = _block_grams(X_blocks)
-        s1 = Mi.astype(np.int64).sum(axis=0)
-        s2 = (Mi.astype(np.int64) ** 2).sum(axis=0)
+        W_blocks, s1_dev = _block_grams_and_sums(X_blocks)
+        # column stats from the exact integer Gram: s2 = diag(W), s1 = col
+        # sums — tiny transfers, exact in float64 (all integers < 2^53), no
+        # host int64 genotype temporaries (those are O(n*m*8) bytes)
+        s2 = np.asarray(
+            jnp.diagonal(W_blocks, axis1=1, axis2=2), dtype=np.float64
+        ).reshape(m_pad)
+        s1 = np.asarray(s1_dev, dtype=np.float64).reshape(m_pad)
         xpx = jnp.asarray(s2, dtype)
-        vx_np = (s2 - s1 * s1 / n) / (n - 1)
-        vx = jnp.asarray(vx_np, dtype)
+        vx = jnp.asarray((s2 - s1 * s1 / n) / (n - 1), dtype)
     else:
         M_j = jnp.asarray(M_np, dtype)
         if m_pad != m:
