@@ -19,7 +19,18 @@ from .model.ssbrm import ssbrm
 
 __all__ = [
     "read_plink", "GenoMatrix", "ldmat", "read_sumstat", "read_pheno", "read_pedigree",
-    "ibrm", "sbrm", "ssbrm", "BlrMod",
+    "ibrm", "sbrm", "ssbrm", "BlrMod", "plot",
     "DenseLD", "SparseLD", "BlockDiagLD",
 ]
+
+
+def __getattr__(name):
+    # `plot` pulls in matplotlib; load it lazily so headless installs
+    # without it keep working (the reference keeps CMplot in Imports —
+    # R/exports.R:17-19 — we make the equivalent optional instead).
+    if name == "plot":
+        import importlib
+
+        return importlib.import_module(".plot", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 __version__ = "0.1.0"
