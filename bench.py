@@ -16,6 +16,12 @@ import time
 import numpy as np
 
 
+def _pi_fold(model):
+    if model == "BayesR":
+        return np.array([0.95, 0.02, 0.02, 0.01]), np.array([0.0, 1e-4, 1e-3, 1e-2])
+    return np.array([0.95, 0.05]), None
+
+
 def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     import jax
     import jax.numpy as jnp
@@ -27,13 +33,14 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
     y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
          + rng.normal(0, 1, n)).astype(np.float32)
-    pi = np.array([0.95, 0.05])
-    data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype, geno_dtype="int8")
+    pi, fold = _pi_fold(model)
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype, geno_dtype="int8",
+                                fold=fold)
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
 
     spec = G.GibbsSpec(
         model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
-        nc=0, nlevels=(), n_fold=2, niter=niter, nburn=niter // 2, thin=5,
+        nc=0, nlevels=(), n_fold=len(pi), niter=niter, nburn=niter // 2, thin=5,
         nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
         s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
@@ -62,12 +69,13 @@ def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
     M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
     y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
          + rng.normal(0, 1, n)).astype(np.float32)
-    pi = np.array([0.95, 0.05])
-    data = G.prepare_gibbs_data(y, M, block=block, dtype=jnp.float32, geno_dtype="int8")
+    pi, fold = _pi_fold(model)
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=jnp.float32,
+                                geno_dtype="int8", fold=fold)
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
     spec = G.GibbsSpec(
         model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
-        nc=0, nlevels=(), n_fold=2, niter=niter, nburn=niter // 2, thin=5,
+        nc=0, nlevels=(), n_fold=len(pi), niter=niter, nburn=niter // 2, thin=5,
         nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
         s2vare=pr.s2vare, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
@@ -109,13 +117,14 @@ def main():
     block = int(os.environ.get("BENCH_BLOCK", 128))
     niter = int(os.environ.get("BENCH_ITERS", 200))
     nchains = int(os.environ.get("BENCH_CHAINS", 64))
+    model = os.environ.get("BENCH_MODEL", "BayesCpi")
 
     if nchains > 1:
-        ours, elapsed = measure_engine_mc(n, m, block, niter, nchains)
-        label = f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block}, chains={nchains})"
+        ours, elapsed = measure_engine_mc(n, m, block, niter, nchains, model=model)
+        label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block}, chains={nchains})"
     else:
-        ours, elapsed, iters = measure_engine(n, m, block, niter)
-        label = f"SNP-updates/s (BayesCpi, n={n}, m={m}, block={block})"
+        ours, elapsed, iters = measure_engine(n, m, block, niter, model=model)
+        label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block})"
     base = measure_reference_emulation(min(n, 4096), min(m, 4096))
     print(
         json.dumps(

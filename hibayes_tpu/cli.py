@@ -50,6 +50,27 @@ def _save_fit(fit, prefix, map_=None):
           + (" / .gwas.tsv" if fit.gwas is not None else ""))
 
 
+def _save_plots(fit, prefix, map_):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from . import plot
+
+    written = []
+    if fit.pip is not None and map_ is not None:
+        fig, _ = plot.manhattan_pip(fit, map_)
+        fig.savefig(prefix + ".pip.png", dpi=150)
+        written.append(".pip.png")
+    if fit.gwas is not None:
+        fig, _ = plot.manhattan_wppa(fit)
+        fig.savefig(prefix + ".wppa.png", dpi=150)
+        written.append(".wppa.png")
+    fig, _ = plot.trace(fit)
+    fig.savefig(prefix + ".trace.png", dpi=150)
+    written.append(".trace.png")
+    print("written " + " / ".join(prefix + w for w in written))
+
+
 def _common_mcmc_args(p):
     p.add_argument("--method", default="BayesCpi")
     p.add_argument("--niter", type=int, default=None)
@@ -61,6 +82,8 @@ def _common_mcmc_args(p):
     p.add_argument("--out-prefix", default="fit")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--plots", action="store_true",
+                   help="also write <prefix>.{pip,wppa,trace}.png (matplotlib)")
 
 
 def main(argv=None):
@@ -139,6 +162,8 @@ def main(argv=None):
                        maf=a.maf, **common)
 
     _save_fit(fit, a.out_prefix, map_=binr["map"] if a.cmd != "sbrm" else binr["map"])
+    if a.plots:
+        _save_plots(fit, a.out_prefix, binr["map"])
     if fit.rhat:
         print("R-hat:", json.dumps({k: round(v, 4) for k, v in fit.rhat.items()
                                     if isinstance(v, float)}))

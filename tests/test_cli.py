@@ -26,3 +26,18 @@ def test_cli_ldmat(tmp_path):
     assert rc == 0
     z = np.load(out)
     assert str(z["kind"]) == "blockdiag"
+
+
+def test_cli_ibrm_plots(tmp_path):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    out = str(tmp_path / "fit")
+    rc = main(["ibrm", "--bfile", DEMO, "--pheno", DEMO + ".phe",
+               "--formula", "T1~1", "--niter", "200", "--nburn", "100",
+               "--windsize", "1e6",
+               "--quiet", "--out-prefix", out, "--plots"])
+    assert rc == 0
+    import os
+    for suffix in (".pip.png", ".wppa.png", ".trace.png"):
+        assert os.path.getsize(out + suffix) > 0
