@@ -172,6 +172,8 @@ def ldmat(
     chisq=None,
     ldchr=False,
     dtype=jnp.float32,
+    threads=0,  # accepted for reference-signature parity (R/ldm.r:38);
+                # the Gram matmul is MXU-scheduled, not host-threaded
 ):
     """LD matrix construction (reference API: R/ldm.r:31-112).
 

@@ -48,16 +48,20 @@ def _byte_lut(mode: str) -> np.ndarray:
 _LUTS = {"A": _byte_lut("A"), "D": _byte_lut("D")}
 
 
-def decode_bed_bytes(payload: np.ndarray, n: int, m: int, mode: str = "A") -> np.ndarray:
+def decode_bed_bytes(payload: np.ndarray, n: int, m: int, mode: str = "A",
+                     threads: int = 0) -> np.ndarray:
     """Decode raw .bed payload (no magic) into an (n, m) int8 matrix.
 
-    SNP-major layout: each SNP occupies ceil(n/4) bytes.
+    SNP-major layout: each SNP occupies ceil(n/4) bytes.  ``threads`` maps to
+    the native codec's OpenMP thread count (0 = all cores), the analog of the
+    reference's ``threads=`` argument (R/read_plink.r:24, src/omp_set.h:10-22);
+    the NumPy fallback ignores it.
     """
     try:
         from hibayes_tpu.native import bed_codec  # optional C++ fast path
 
         if bed_codec.available():
-            return bed_codec.decode(payload, n, m, mode)
+            return bed_codec.decode(payload, n, m, mode, threads=threads)
     except ImportError:
         pass
     bpsnp = (n + 3) // 4
@@ -85,18 +89,28 @@ def encode_bed_bytes(geno: np.ndarray) -> bytes:
     return b"\x6c\x1b\x01" + payload.astype(np.uint8).tobytes()
 
 
-def impute_major(geno: np.ndarray) -> np.ndarray:
+def impute_major(geno: np.ndarray, threads: int = 0) -> np.ndarray:
     """Impute missing (-9) entries with the per-SNP major genotype.
 
     Vectorised equivalent of the reference's per-SNP count loop
     (src/read_bed.cpp:182-230).  Ties resolve to the smaller genotype value
     only when its count is strictly greater, matching the reference's
-    ``counts[j] > max`` scan order (0, then 1, then 2).
+    ``counts[j] > max`` scan order (0, then 1, then 2).  Uses the native
+    OpenMP codec when built (``threads``: 0 = all cores).
     """
     miss = geno == _MISS
     cols = np.flatnonzero(miss.any(axis=0))
     if cols.size == 0:
         return geno
+    try:
+        from hibayes_tpu.native import bed_codec
+
+        if bed_codec.available() and geno.dtype == np.int8:
+            return bed_codec.impute_major_inplace(
+                np.ascontiguousarray(geno.copy()), threads=threads
+            )
+    except ImportError:
+        pass
     geno = geno.copy()
     for c in cols:
         col = geno[:, c]
@@ -162,9 +176,21 @@ class GenoMatrix:
     def m(self) -> int:
         return self.values.shape[1]
 
-    def col_stats(self):
-        """Per-SNP mean / sum / sqrt(SSD), as in BigStat (src/tXXmat.cpp:43-98)."""
+    def col_stats(self, threads: int = 0):
+        """Per-SNP mean / sum / sqrt(SSD), as in BigStat (src/tXXmat.cpp:43-98).
+        Uses the native OpenMP codec for int8 storage when built."""
         if not self._stats:
+            if self.values.dtype == np.int8:
+                try:
+                    from hibayes_tpu.native import bed_codec
+
+                    if bed_codec.available():
+                        self._stats = bed_codec.col_stats(
+                            np.ascontiguousarray(self.values), threads=threads
+                        )
+                        return self._stats
+                except ImportError:
+                    pass
             g = self.values.astype(np.float64)
             mean = g.mean(axis=0)
             s = g.sum(axis=0)
@@ -198,6 +224,7 @@ def read_plink(
     mode: str = "A",
     out: str | None = None,
     max_chunk_bytes: int = 1 << 30,
+    threads: int = 0,
 ):
     """Load a PLINK binary fileset.
 
@@ -216,9 +243,9 @@ def read_plink(
         if magic != b"\x6c\x1b\x01":
             raise ValueError(f"{bfile}.bed is not a SNP-major PLINK .bed file")
         payload = np.frombuffer(f.read(), dtype=np.uint8)
-    geno = decode_bed_bytes(payload, n, m, mode)
+    geno = decode_bed_bytes(payload, n, m, mode, threads=threads)
     if impute:
-        geno = impute_major(geno)
+        geno = impute_major(geno, threads=threads)
     gm = GenoMatrix(values=geno)
     if out is not None:
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

@@ -122,6 +122,7 @@ def ibrm(
     lambda_=0.0,
     printfreq=100,
     seed=666666,
+    threads=0,  # host-side codec threads; device compute is XLA-scheduled
     verbose=True,
     block=64,
     dtype=jnp.float32,

@@ -57,6 +57,7 @@ def ssbrm(
     s2ve=None,
     printfreq=100,
     seed=666666,
+    threads=0,  # host-side codec threads; device compute is XLA-scheduled
     verbose=True,
     block=64,
     dtype=jnp.float32,
