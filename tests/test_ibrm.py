@@ -121,3 +121,40 @@ def test_ibrm_unphenotyped_gebv():
     assert len(fit.g["gebv"]) == 300
     assert np.isfinite(fit.g["gebv"]).all()
     assert len(fit.e["id"]) == 250
+
+
+def test_ibrm_demo_golden_vs_reference_readme(demo):
+    """Statistical parity against the reference's published demo fit.
+
+    The reference README (README.md:137-175) prints the summary of
+    `ibrm("T1 ~ season + bwt + (1|loc) + (1|dam)", method="BayesCpi")` on the
+    bundled demo data: Vg=52.1 (SD 13.1), h2=0.357 (SD 0.081), Vloc=8.10
+    (SD 4.79), Vdam=54.29 (SD 10.10), Ve=30.77 (SD 6.32), pi2=0.073
+    (SD 0.039), intercept 32.99 (SD 6.61), bwt 2.399 (SD 0.792), with 300
+    observations and 50/150 group levels.  RNG families differ (R Mersenne
+    Twister vs threefry), so we check posterior means within 3 published
+    posterior SDs — the de-facto golden-output contract of SURVEY.md section 4.
+    """
+    bin_, pheno = demo
+    fit = ht.ibrm(
+        "T1~season+bwt+(1|loc)+(1|dam)", data=pheno, M=bin_["geno"].values,
+        M_id=bin_["fam"][1], method="BayesCpi", niter=3000, nburn=1500,
+        thin=5, verbose=False, seed=666666,
+    )
+    # structure: 300 obs, treatment contrasts (Fall baseline), group sizes
+    assert len(fit.e["id"]) == 300
+    assert fit.beta_names == ["seasonSpring", "seasonSummer", "seasonWinter", "bwt"]
+    assert len(fit.r["Levels"]) == 50 + 150  # loc 50 + dam 150 group levels
+    # posterior means within 3 published posterior SDs
+    golden = {
+        "Vg": (52.10097, 13.084), "h2": (0.35748, 0.081),
+        "Ve": (30.77, 6.323), "mu": (32.992, 6.609),
+    }
+    assert abs(fit.Vg - golden["Vg"][0]) < 3 * golden["Vg"][1]
+    assert abs(fit.h2 - golden["h2"][0]) < 3 * golden["h2"][1]
+    assert abs(fit.Ve - golden["Ve"][0]) < 3 * golden["Ve"][1]
+    assert abs(fit.mu - golden["mu"][0]) < 3 * golden["mu"][1]
+    assert abs(fit.Vr[0] - 8.10) < 3 * 4.785      # loc
+    assert abs(fit.Vr[1] - 54.29) < 3 * 10.096    # dam
+    assert abs(fit.beta[3] - 2.399) < 3 * 0.792   # bwt
+    assert abs(fit.pi[1] - 0.07317) < 3 * 0.039 + 0.05
