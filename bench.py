@@ -16,6 +16,28 @@ import time
 import numpy as np
 
 
+def _sim_geno(rng, n, m, maf=0.3):
+    """Fast synthetic int8 genotype: byte LUT instead of np.random.binomial
+    (binomial is ~100ns/draw — minutes for large n*m; this is ~1GB/s)."""
+    p0 = (1 - maf) ** 2
+    p1 = 2 * maf * (1 - maf)
+    raw = rng.integers(0, 256, size=(n, m), dtype=np.uint8)
+    out = np.ones((n, m), dtype=np.int8)
+    out[raw < int(p0 * 256)] = 0
+    out[raw >= int((p0 + p1) * 256)] = 2
+    return out
+
+
+def _sim_pheno(rng, M, chunk=8192):
+    """y = M @ b + e without materializing a float copy of the genotype."""
+    n, m = M.shape
+    b = rng.normal(0, 0.05, m).astype(np.float32)
+    y = rng.normal(0, 1, n).astype(np.float32)
+    for j0 in range(0, m, chunk):
+        y += M[:, j0 : j0 + chunk].astype(np.float32) @ b[j0 : j0 + chunk]
+    return y
+
+
 def _pi_fold(model):
     if model == "BayesR":
         return np.array([0.95, 0.02, 0.02, 0.01]), np.array([0.0, 1e-4, 1e-3, 1e-2])
@@ -30,9 +52,8 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
 
     dtype = dtype or jnp.float32
     rng = np.random.default_rng(0)
-    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
-    y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
-         + rng.normal(0, 1, n)).astype(np.float32)
+    M = _sim_geno(rng, n, m)
+    y = _sim_pheno(rng, M)
     pi, fold = _pi_fold(model)
     data = G.prepare_gibbs_data(y, M, block=block, dtype=dtype, geno_dtype="int8",
                                 fold=fold)
@@ -66,9 +87,8 @@ def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
     from hibayes_tpu.engine import gibbs as G
 
     rng = np.random.default_rng(0)
-    M = rng.binomial(2, 0.3, size=(n, m)).astype(np.int8)
-    y = (M.astype(np.float32) @ rng.normal(0, 0.05, m).astype(np.float32)
-         + rng.normal(0, 1, n)).astype(np.float32)
+    M = _sim_geno(rng, n, m)
+    y = _sim_pheno(rng, M)
     pi, fold = _pi_fold(model)
     data = G.prepare_gibbs_data(y, M, block=block, dtype=jnp.float32,
                                 geno_dtype="int8", fold=fold)
