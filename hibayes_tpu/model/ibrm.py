@@ -324,6 +324,7 @@ def _assemble_results(
         beta_names=mf.X_names,
         r=r_dict,
         r_names=mf.R_names,
+        r_nlevels=tuple(len(lv) for lv in mf.R_levels),
         Vr=vr,
         Vg=float(s["Vg"].mean()),
         Ve=float(s["Ve"].mean()),

@@ -27,6 +27,7 @@ class BlrMod:
     beta_names: list = field(default_factory=list)
     r: dict | None = None            # {"Levels": ..., "Estimation": ...}
     r_names: list = field(default_factory=list)
+    r_nlevels: tuple = ()            # level count per random factor
     Vr: np.ndarray | None = None
     Vg: float = 0.0
     Ve: float = 0.0
@@ -101,6 +102,10 @@ class BlrMod:
             res.g["SD"] = np.std(s["g"], axis=1, ddof=1)
         if self.e is not None:
             res.e = self.e
+        res.n_obs = len(self.e["id"]) if self.e is not None else 0
+        res.groups = list(zip(self.r_names, self.r_nlevels))
+        res.n_markers = len(self.alpha) if self.alpha is not None else 0
+        res.n_predicted = len(self.g["id"]) if self.g is not None else 0
         return res
 
     def __repr__(self):
@@ -120,6 +125,10 @@ class BlrModSummary:
     alpha: dict | None = None
     g: dict | None = None
     e: dict | None = None
+    n_obs: int = 0
+    groups: list = field(default_factory=list)
+    n_markers: int = 0
+    n_predicted: int = 0
 
     def __str__(self):
         lines = [self.model_desc, f"Formula: {self.call}", ""]
@@ -144,12 +153,27 @@ class BlrModSummary:
             lines.append(f"{'':<14}{'Variance':>10}{'SD':>10}")
             for nm, e_, s_ in zip(self.VER["names"], self.VER["Variance"], self.VER["SD"]):
                 lines.append(f"{nm:<14}{e_:>10.4f}{s_:>10.4f}")
+            if self.n_obs:
+                # reference: "Number of obs: 500, group: loc, 50; dam, 150"
+                # (R/blrMod.r:87-94)
+                line = f"Number of obs: {self.n_obs}"
+                if self.groups:
+                    line += ", group: " + "; ".join(
+                        f"{nm}, {nl}" for nm, nl in self.groups
+                    )
+                lines.append(line)
             lines.append("")
         if self.VGR:
             lines.append("Genetic random effects ($VGR, $g):")
             lines.append(f"{'':<14}{'Estimate':>10}{'SD':>10}")
             for nm, e_, s_ in zip(self.VGR["names"], self.VGR["Estimate"], self.VGR["SD"]):
                 lines.append(f"{nm:<14}{e_:>10.4f}{s_:>10.4f}")
+            # reference: "Number of markers: 1000 , predicted individuals: 1500"
+            # (R/blrMod.r:98-99)
+            lines.append(
+                f"Number of markers: {self.n_markers} , "
+                f"predicted individuals: {self.n_predicted}"
+            )
             lines.append("")
         if self.alpha:
             a = self.alpha["Effect"]

@@ -295,6 +295,7 @@ def ssbrm(
         beta_names=mf.X_names,
         r=r_dict,
         r_names=mf.R_names,
+        r_nlevels=tuple(len(lv) for lv in mf.R_levels),
         Vr=s["Vr"].mean(axis=0) if nlevels else None,
         Vg=float(s["Vg"].mean()),
         Ve=float(s["Ve"].mean()),

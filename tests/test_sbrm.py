@@ -182,3 +182,33 @@ def test_ldmat_gwas_overlay_chr_blocks():
     xg6 = Xg[:, 2] - Xg[:, 2].mean()
     np.testing.assert_allclose(ld.blocks[1][2, 2], (xg6 @ xg6) / Xg.shape[0],
                                rtol=1e-5)
+
+
+def test_sbrm_demo_golden_vs_reference_readme(demo):
+    """Statistical parity with the reference README's published sbrm fit
+    (README.md:297-320): `sbrm(sumstat, ldm1, model="BayesCpi")` over the
+    chromosome-wide full LD of the demo panel prints Vg=324.44 (SD 42.96),
+    h2=0.761 (SD 0.128), Ve=111.7 (SD 67.67), pi1=0.0897 (SD 0.058), and
+    marker-effect quantiles spanning [-4.44, +7.96].  RNG families differ,
+    so posterior means are checked within 3 published posterior SDs."""
+    bin_, ma = demo
+    # README step: sumstat <- sumstat[match(map[,1], sumstat[,1]), ]
+    ids = np.asarray(ma["SNP"])
+    pos = {s: i for i, s in enumerate(ids)}
+    order = np.array([pos[s] for s in np.asarray(bin_["map"]["SNP"])])
+    ma_ord = {k: np.asarray(v)[order] for k, v in ma.items()}
+    ld = ht.ldmat(bin_["geno"])
+    fit = ht.sbrm(ma_ord, ld, method="BayesCpi", niter=3000, nburn=1500,
+                  thin=5, verbose=False, seed=666666)
+    golden = {
+        "Vg": (324.43561, 42.958), "h2": (0.76106, 0.128),
+        "Ve": (111.7, 67.67),
+    }
+    assert abs(fit.Vg - golden["Vg"][0]) < 3 * golden["Vg"][1]
+    assert abs(fit.h2 - golden["h2"][0]) < 3 * golden["h2"][1]
+    assert abs(fit.Ve - golden["Ve"][0]) < 3 * golden["Ve"][1]
+    assert abs(fit.pi[0] - 0.08965) < 3 * 0.058 + 0.05
+    assert abs(fit.pi[1] - 0.91035) < 3 * 0.058 + 0.05
+    # marker effects: 1000 SNPs, quantile envelope of the published fit
+    assert fit.alpha.shape == (1000,)
+    assert -10.0 < fit.alpha.min() < 0 < fit.alpha.max() < 16.0

@@ -184,3 +184,46 @@ def test_ssbrm_synthetic_prediction():
     pred_off = np.array([gmap[f"O{i}"] for i in range(n_off)])
     corr = np.corrcoef(pred_off, g_all[n_founders:])[0, 1]
     assert corr > 0.35, f"offspring GEBV corr too low: {corr}"
+
+
+def test_ssbrm_demo_golden_vs_reference_readme(demo):
+    """Statistical parity with the reference README's published ssbrm fit
+    (README.md:345-384): `ssbrm(T1 ~ sex + bwt + (1|dam), method="BayesR",
+    Pi=c(.95,.02,.02,.01), fold=c(0,1e-4,1e-3,1e-2))` on the demo data prints
+    Vg=65.52 (SD 10.37), h2=0.412 (SD 0.056), Veps=56.57 (SD 21.88),
+    Ve=88.44 (SD 9.87), Vdam=4.80 (SD 4.53), sexMale=-20.84 (SD 1.17),
+    bwt=0.4919 (SD 0.831), J=-40.82 (SD 15.28), with 500 obs, 250 dam
+    levels, 1000 markers, 1500 predicted individuals.  Posterior means are
+    checked within 3 published posterior SDs (RNG families differ)."""
+    bin_, pheno, (pid, ps, pd_) = demo
+    fit = ssbrm(
+        "T1~sex+bwt+(1|dam)", data=pheno, M=bin_["geno"].values,
+        M_id=bin_["fam"][1], pedigree={"id": pid, "sire": ps, "dam": pd_},
+        method="BayesR", Pi=[0.95, 0.02, 0.02, 0.01],
+        fold=[0.0, 1e-4, 1e-3, 1e-2], niter=3000, nburn=1500, thin=5,
+        verbose=False, seed=666666,
+    )
+    # structure of the published fit
+    assert len(fit.e["id"]) == 500
+    assert len(fit.r["Levels"]) == 250          # dam group levels
+    assert fit.alpha.shape == (1000,)
+    assert len(fit.g["id"]) == 1500             # all pedigree ids predicted
+    assert fit.beta_names == ["sexMale", "bwt"]
+    # posterior means within 3 published posterior SDs
+    assert abs(fit.Vg - 65.5210) < 3 * 10.371
+    assert abs(fit.h2 - 0.4120) < 3 * 0.056
+    assert abs(fit.Veps - 56.5732) < 3 * 21.883
+    assert abs(fit.Ve - 88.443) < 3 * 9.872
+    assert abs(fit.Vr[0] - 4.803) < 3 * 4.527   # dam variance
+    assert abs(fit.beta[0] - (-20.8402)) < 3 * 1.170   # sexMale
+    assert abs(fit.beta[1] - 0.4919) < 3 * 0.831       # bwt
+    # J (J_i = -1 for genotyped ids) is nearly collinear with the intercept,
+    # so mu and J individually mix slowly; only the identified combination
+    # mu - J (the genotyped-individual level) is comparable across chains.
+    # Published: mu=3.0881 (SD 15.066), J=-40.8167 (SD 15.282).
+    tol = 3 * np.hypot(15.066, 15.282)
+    assert abs((fit.mu - fit.J) - (3.0881 + 40.8167)) < tol
+    # BayesR mixture proportions (published SDs are wide)
+    for k, (mean, sd) in enumerate([(0.1516, 0.106), (0.1856, 0.127),
+                                    (0.1671, 0.144), (0.4957, 0.195)]):
+        assert abs(fit.pi[k] - mean) < 3 * sd + 0.05
