@@ -57,11 +57,24 @@ def conj_grad(matvec, b, lam=None, x0=None, tol=1e-6, maxiter=None):
     return x, it, err
 
 
-def pcg(matvec, b, x0=None, tol=1e-6, maxiter=None):
+def estimate_diag(matvec, m, nprobes=16, key=None, dtype=jnp.float64):
+    """Stochastic diagonal estimate via Rademacher probes (Bekas et al.):
+    E[v * Av] = diag(A) for v with iid +/-1 entries.  `nprobes` matvecs."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    probes = jax.random.rademacher(key, (nprobes, m), dtype=dtype)
+    av = jax.vmap(matvec)(probes)
+    return jnp.mean(probes * av, axis=0)
+
+
+def pcg(matvec, b, x0=None, tol=1e-6, maxiter=None, nprobes=16):
     """Jacobi-preconditioned CG (solver.cpp:3-42).  The preconditioner is the
-    operator diagonal estimated via matvec on basis probes when not supplied —
+    operator diagonal estimated via `estimate_diag` Rademacher probes —
     callers with an explicit diagonal should use `pcg_with_diag`."""
-    diag = None
+    b = jnp.asarray(b)
+    diag = estimate_diag(matvec, b.shape[0], nprobes=nprobes, dtype=b.dtype)
+    # the probe estimate can be noisy/nonpositive off-SPD — clamp to positive
+    diag = jnp.where(diag > 0, diag, 1.0)
     return pcg_with_diag(matvec, b, diag, x0=x0, tol=tol, maxiter=maxiter)
 
 

@@ -41,3 +41,42 @@ def test_cli_ibrm_plots(tmp_path):
     import os
     for suffix in (".pip.png", ".wppa.png", ".trace.png"):
         assert os.path.getsize(out + suffix) > 0
+
+
+def test_cli_sbrm(tmp_path):
+    out = str(tmp_path / "sfit")
+    rc = main(["sbrm", "--sumstat", DEMO + ".ma", "--bfile", DEMO,
+               "--method", "BayesCpi", "--niter", "400", "--nburn", "200",
+               "--quiet", "--out-prefix", out])
+    assert rc == 0
+    alpha = open(out + ".alpha.tsv").read().splitlines()
+    assert len(alpha) == 1001
+    var = dict(
+        line.split("\t") for line in open(out + ".var.tsv").read().splitlines()[1:]
+    )
+    assert float(var["Vg"]) > 0 and float(var["Ve"]) > 0
+
+
+def test_cli_sbrm_sparse_chisq(tmp_path):
+    out = str(tmp_path / "sfit")
+    rc = main(["sbrm", "--sumstat", DEMO + ".ma", "--bfile", DEMO,
+               "--chisq", "5", "--niter", "200", "--nburn", "100",
+               "--quiet", "--out-prefix", out])
+    assert rc == 0
+    assert len(open(out + ".alpha.tsv").read().splitlines()) == 1001
+
+
+def test_cli_ssbrm(tmp_path):
+    out = str(tmp_path / "ssfit")
+    rc = main(["ssbrm", "--bfile", DEMO, "--pheno", DEMO + ".phe",
+               "--formula", "T1~1", "--ped", DEMO + ".ped",
+               "--niter", "300", "--nburn", "150",
+               "--quiet", "--out-prefix", out])
+    assert rc == 0
+    gebv = open(out + ".gebv.tsv").read().splitlines()
+    # single-step GEBV covers every pedigree id (1500+), not just genotyped
+    assert len(gebv) > 1000
+    var = dict(
+        line.split("\t") for line in open(out + ".var.tsv").read().splitlines()[1:]
+    )
+    assert float(var["Vg"]) > 0

@@ -54,3 +54,23 @@ def test_scaled_inv_chisq_from_matches_formula():
     chi = 4.0
     out = D.scaled_inv_chisq_from(10.0, 2.0, 6.0, chi)
     assert float(out) == (10.0 + 2.0) / 4.0
+
+
+def test_estimate_diag_and_pcg_probe():
+    """The probe-estimated Jacobi preconditioner (math/solvers.py::pcg) must
+    approximate diag(A) and still converge to the true solve."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hibayes_tpu.math.solvers import estimate_diag, pcg
+
+    rng = np.random.default_rng(3)
+    B = rng.normal(size=(40, 40))
+    A = B @ B.T + 40 * np.diag(1.0 + rng.random(40))
+    Aj = jnp.asarray(A)
+    matvec = lambda v: Aj @ v
+    d = np.asarray(estimate_diag(matvec, 40, nprobes=256))
+    # Rademacher estimate is unbiased; at 256 probes relative error is small
+    assert np.allclose(d, np.diag(A), rtol=0.35)
+    b = jnp.asarray(rng.normal(size=40))
+    x, it = pcg(matvec, b, tol=1e-10)
+    assert np.allclose(np.asarray(Aj @ x), np.asarray(b), atol=1e-6)
