@@ -73,6 +73,124 @@ def decode_bed_bytes(payload: np.ndarray, n: int, m: int, mode: str = "A",
     return np.ascontiguousarray(geno.T)
 
 
+def bed_payload_memmap(bedpath: str, n: int, m: int) -> np.ndarray:
+    """Memory-map the .bed payload as an (m, bytes-per-SNP) uint8 view.
+
+    Verifies the SNP-major magic; no bytes are read until touched, so column
+    chunks / row ranges pull only their own pages from disk — the analog of
+    the reference's `maxLine` buffered streaming (src/read_bed.cpp:137-168)
+    with the OS page cache as the buffer.
+    """
+    with open(bedpath, "rb") as f:
+        if f.read(3) != b"\x6c\x1b\x01":
+            raise ValueError(f"{bedpath} is not a SNP-major PLINK .bed file")
+    bpsnp = (n + 3) // 4
+    size = os.path.getsize(bedpath) - 3
+    if size < bpsnp * m:
+        raise ValueError(f"{bedpath}: payload {size} bytes < expected {bpsnp * m}")
+    mm = np.memmap(bedpath, dtype=np.uint8, mode="r", offset=3, shape=(bpsnp * m,))
+    return mm.reshape(m, bpsnp)
+
+
+def decode_bed_region(
+    payload2d: np.ndarray,
+    n: int,
+    mode: str = "A",
+    rows: tuple | None = None,
+    cols: tuple | None = None,
+    threads: int = 0,
+) -> np.ndarray:
+    """Decode an arbitrary (row range) x (column chunk) region of a .bed
+    payload into an int8 genotype block, touching only that region's bytes.
+
+    payload2d: (m, bpsnp) uint8 view (see :func:`bed_payload_memmap`).
+    rows: (row_start, row_count); cols: (col_start, col_count); None = all.
+    The row-range capability is what multi-host loading shards on — each host
+    decodes only its own individuals (the reference has no equivalent; its
+    chunking is byte-buffered full-matrix, src/read_bed.cpp:137-168).
+    """
+    m = payload2d.shape[0]
+    r0, rc = rows if rows is not None else (0, n)
+    c0, cc = cols if cols is not None else (0, m)
+    if r0 < 0 or rc < 0 or r0 + rc > n:
+        raise ValueError(f"row range ({r0}, {rc}) out of bounds for n={n}")
+    if c0 < 0 or cc < 0 or c0 + cc > m:
+        raise ValueError(f"column range ({c0}, {cc}) out of bounds for m={m}")
+    if r0 == 0 and rc == n:
+        # full-rows column chunk: each SNP's bytes are a valid standalone
+        # payload for (n, cc) -> the native OpenMP codec applies directly
+        try:
+            from hibayes_tpu.native import bed_codec
+
+            if bed_codec.available():
+                chunk = np.ascontiguousarray(payload2d[c0 : c0 + cc]).reshape(-1)
+                return bed_codec.decode(chunk, n, cc, mode, threads=threads)
+        except ImportError:
+            pass
+    b0 = r0 // 4
+    b1 = (r0 + rc + 3) // 4
+    chunk = np.asarray(payload2d[c0 : c0 + cc, b0:b1])
+    lut = _LUTS[mode]
+    dec = lut[chunk].reshape(cc, (b1 - b0) * 4)
+    off = r0 - 4 * b0
+    return np.ascontiguousarray(dec[:, off : off + rc].T)
+
+
+# per-byte genotype-value counts: _COUNT_LUTS[mode][byte] = (#0, #1, #2)
+def _count_lut(mode: str) -> np.ndarray:
+    lut = _LUTS[mode]
+    out = np.zeros((256, 3), dtype=np.uint8)
+    for v in range(3):
+        out[:, v] = (lut == v).sum(axis=1)
+    return out
+
+
+_COUNT_LUTS = {"A": _count_lut("A"), "D": _count_lut("D")}
+
+
+def bed_geno_counts(
+    payload2d: np.ndarray, n: int, mode: str = "A", max_chunk_bytes: int = 1 << 28
+) -> np.ndarray:
+    """Exact per-SNP genotype counts (3, m) straight from the packed bytes.
+
+    A 256->counts LUT makes this O(m * n/4) byte work with no decode, so a
+    host that holds only a ROW SHARD can still impute by the GLOBAL major
+    genotype — bit-identical to the reference's full-matrix count scan
+    (src/read_bed.cpp:182-230).  Padding bits in each SNP's last byte are
+    code 00 (= genotype value 2/0); their contribution is subtracted.
+    """
+    m, bpsnp = payload2d.shape
+    counts = np.zeros((3, m), dtype=np.int64)
+    clut = _COUNT_LUTS[mode].astype(np.int64)
+    rows_per_chunk = max(1, max_chunk_bytes // max(bpsnp, 1))
+    for c0 in range(0, m, rows_per_chunk):
+        c1 = min(m, c0 + rows_per_chunk)
+        chunk = np.asarray(payload2d[c0:c1])
+        counts[:, c0:c1] = clut[chunk].sum(axis=1).T
+    npad = 4 * bpsnp - n
+    if npad:
+        # padding entries decode from the low-order positions NOT used by the
+        # tail: entries [n - 4*(bpsnp-1) :] of the final byte
+        last = np.asarray(payload2d[:, -1])
+        glut = _LUTS[mode]
+        tail = glut[last][:, 4 - npad :]  # (m, npad) padded decode values
+        for v in range(3):
+            counts[v] -= (tail == v).sum(axis=1)
+    return counts
+
+
+def impute_major_with_counts(geno: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Impute missing (-9) entries using externally supplied global per-SNP
+    genotype counts (from :func:`bed_geno_counts`) — the multi-host path where
+    each process holds only a row shard but must impute by the global major
+    genotype.  argmax tie-breaking matches the reference scan order 0,1,2."""
+    miss = geno == _MISS
+    if not miss.any():
+        return geno
+    major = counts.argmax(axis=0).astype(np.int8)
+    return np.where(miss, major[np.newaxis, :], geno)
+
+
 def encode_bed_bytes(geno: np.ndarray) -> bytes:
     """Inverse of :func:`decode_bed_bytes` (additive coding) — used to write
     test fixtures and to export data for PLINK interoperability."""
@@ -225,12 +343,23 @@ def read_plink(
     out: str | None = None,
     max_chunk_bytes: int = 1 << 30,
     threads: int = 0,
+    rows: tuple | None = None,
 ):
-    """Load a PLINK binary fileset.
+    """Load a PLINK binary fileset with bounded peak memory.
 
     Returns ``dict(fam=..., geno=GenoMatrix, map=...)`` matching the
-    reference's surface (R/read_plink.r:24-77).  When ``out`` is given the
-    genotype is persisted as a memmap pair plus ``<out>.id`` / ``<out>.map``.
+    reference's surface (R/read_plink.r:24-77).  The .bed payload is
+    memory-mapped and decoded in column chunks of at most ``max_chunk_bytes``
+    decoded bytes — the analog of the reference's ``maxLine`` buffered loop
+    (src/read_bed.cpp:137-168); with ``out`` given the chunks are written
+    straight into the file-backed ``<out>.bin`` memmap, so peak RAM stays
+    O(chunk) regardless of n*m.
+
+    ``rows=(start, count)`` decodes only that row (individual) shard — the
+    multi-host loading path where each process reads its own individuals
+    (fam/map are still returned in full; missing genotypes are imputed by the
+    GLOBAL major genotype computed from the packed bytes, identical to a
+    full-matrix load).
     """
     if mode not in ("A", "D"):
         raise ValueError("mode must be 'A' (additive) or 'D' (dominant)")
@@ -238,18 +367,32 @@ def read_plink(
     fam = read_fam(bfile + ".fam")
     n = len(fam[0])
     m = len(bim["SNP"])
-    with open(bfile + ".bed", "rb") as f:
-        magic = f.read(3)
-        if magic != b"\x6c\x1b\x01":
-            raise ValueError(f"{bfile}.bed is not a SNP-major PLINK .bed file")
-        payload = np.frombuffer(f.read(), dtype=np.uint8)
-    geno = decode_bed_bytes(payload, n, m, mode, threads=threads)
-    if impute:
-        geno = impute_major(geno, threads=threads)
-    gm = GenoMatrix(values=geno)
+    payload2d = bed_payload_memmap(bfile + ".bed", n, m)
+    r0, rc = rows if rows is not None else (0, n)
+    if r0 < 0 or rc < 0 or r0 + rc > n:
+        raise ValueError(f"rows=({r0}, {rc}) out of bounds for n={n}")
+    binpath = None
     if out is not None:
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-        gm.save(out)
+        binpath = out + ".bin"
+        geno = np.memmap(binpath, dtype=np.int8, mode="w+", shape=(rc, m))
+    else:
+        geno = np.empty((rc, m), dtype=np.int8)
+    counts = bed_geno_counts(payload2d, n, mode, max_chunk_bytes) if impute else None
+    chunk_cols = min(m, max(1, int(max_chunk_bytes // max(rc, 1))))
+    for c0 in range(0, m, chunk_cols):
+        cc = min(chunk_cols, m - c0)
+        block = decode_bed_region(
+            payload2d, n, mode, rows=(r0, rc), cols=(c0, cc), threads=threads
+        )
+        if impute:
+            block = impute_major_with_counts(block, counts[:, c0 : c0 + cc])
+        geno[:, c0 : c0 + cc] = block
+    gm = GenoMatrix(values=geno, path=binpath)
+    if out is not None:
+        geno.flush()
+        with open(out + ".desc", "w") as f:
+            json.dump({"n": rc, "m": m, "dtype": "int8"}, f)
         with open(out + ".id", "w") as f:
             f.write("\n".join(fam[1]) + "\n")
         with open(out + ".map", "w") as f:
