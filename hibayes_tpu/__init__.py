@@ -9,6 +9,7 @@ residual updates over ICI.
 
 from .data.ld import BlockDiagLD, DenseLD, SparseLD, ldmat
 from .data.plink import GenoMatrix, read_plink
+from .data.sparse_ld import TiledSparseLD, build_tiled_ld
 from .data.pedigree import read_pedigree
 from .data.pheno import read_pheno
 from .data.sumstats import read_sumstat
@@ -20,7 +21,7 @@ from .model.ssbrm import ssbrm
 __all__ = [
     "read_plink", "GenoMatrix", "ldmat", "read_sumstat", "read_pheno", "read_pedigree",
     "ibrm", "sbrm", "ssbrm", "BlrMod", "plot",
-    "DenseLD", "SparseLD", "BlockDiagLD",
+    "DenseLD", "SparseLD", "BlockDiagLD", "TiledSparseLD", "build_tiled_ld",
 ]
 
 

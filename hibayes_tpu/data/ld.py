@@ -174,6 +174,10 @@ def ldmat(
     dtype=jnp.float32,
     threads=0,  # accepted for reference-signature parity (R/ldm.r:38);
                 # the Gram matmul is MXU-scheduled, not host-threaded
+    tiled=False,
+    tile=64,
+    stripe=4096,
+    progress=False,
 ):
     """LD matrix construction (reference API: R/ldm.r:31-112).
 
@@ -181,11 +185,36 @@ def ldmat(
     chisq>0 -> sparse threshold.  ldchr=False with a map -> per-chromosome
     blocks.  gwas_geno/gwas_map overlay the GWAS sample's own LD for SNPs
     present in both panels (tXXmat_*_gwas, tXXmat.cpp:314-502).
+
+    tiled=True -> an O(nnz) `TiledSparseLD` built by streaming genotype
+    column stripes through the MXU Gram (never materialising the m x m
+    matrix; reference analog: the out-of-core bigmemory pair loop,
+    src/tXXmat.cpp:101-184).  Requires chisq and/or a per-chromosome map;
+    `stripe` bounds peak memory, `progress` prints the reference-style
+    percent bar (tXXmat.cpp:10-41).
     """
     X = geno.values if hasattr(geno, "values") else np.asarray(geno)
     n, m = X.shape
     if chisq is not None and chisq < 0:
         chisq = None
+    if tiled:
+        if gwas_geno is not None:
+            raise NotImplementedError(
+                "tiled=True does not support the gwas.geno overlay yet; "
+                "use the dense/block path for overlay panels"
+            )
+        from .sparse_ld import build_tiled_ld
+
+        chrom_arg = None
+        if map is not None and not ldchr:
+            chrom_arg = np.asarray(
+                map["Chr"] if isinstance(map, dict) else map[:, 1]
+            ).astype(str)
+        return build_tiled_ld(
+            X, chisq=chisq, chrom=chrom_arg, tile=tile, stripe=stripe,
+            dtype=np.float32 if dtype == jnp.float32 else np.float64,
+            progress=progress,
+        )
     if map is None:
         ldchr = True
     else:

@@ -1,0 +1,330 @@
+"""Tiled (block-sparse-row) LD storage with O(nnz) memory.
+
+TPU-native replacement for the reference's sparse LD matrix
+(`arma::sp_mat` CSC, reference: src/tXXmat.cpp:147-152 inserts only entries
+with r^2*n > chisq; src/SBayesS.cpp:292-296 iterates stored columns).  A CSC
+scalar layout is hostile to the MXU/VPU; instead the pruned matrix is stored
+as fixed-size T x T tiles:
+
+* only tiles containing at least one surviving entry are stored (entries
+  inside a stored tile that fail the threshold are explicit zeros, so the
+  sampled model is IDENTICAL to per-entry pruning);
+* per block-row, tiles are kept in a padded (K_max) list with the DIAGONAL
+  TILE FIRST — the blocked Gibbs sweep needs W_b = n * LD[block, block] at
+  the start of every block step;
+* the pattern is symmetric and both triangles are stored, so the rank-1
+  r_hat update for block i touches exactly block-row i's tiles:
+  r_hat[rows of tile (i,j)] += n * tile(i,j)^T @ dg.
+
+Memory = n_tiles * T^2 * itemsize — O(nnz) for banded/LD-decay patterns,
+vs O(m^2) for the dense layout.  Construction streams genotype column
+stripes through the exact int8 MXU Gram (`ldmat`-style), never materialising
+the full m x m (reference analog: the out-of-core bigmemory pair loop,
+src/tXXmat.cpp:101-184).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _int_cross_gram(Xi, Xj):
+    """Exact Xi'Xj (int8 MXU path, int32 accumulate) + column sums."""
+    S = jax.lax.dot_general(
+        Xi, Xj, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    si = jnp.sum(Xi.astype(jnp.int32), axis=0)
+    sj = jnp.sum(Xj.astype(jnp.int32), axis=0)
+    return S, si, sj
+
+
+def _cross_cov(Xi, Xj) -> np.ndarray:
+    """Covariance block cov(Xi, Xj) = (Xi'Xj - si sj'/n)/n as float64."""
+    Xi = np.asarray(Xi)
+    Xj = np.asarray(Xj)
+    n = Xi.shape[0]
+    if (
+        np.issubdtype(Xi.dtype, np.integer)
+        and Xi.dtype.itemsize == 1
+        and np.issubdtype(Xj.dtype, np.integer)
+        and Xj.dtype.itemsize == 1
+    ):
+        S, si, sj = jax.device_get(_int_cross_gram(jnp.asarray(Xi), jnp.asarray(Xj)))
+        S = S.astype(np.float64)
+        return (S - np.outer(si.astype(np.float64), sj.astype(np.float64)) / n) / n
+    Xi = np.asarray(Xi, np.float64)
+    Xj = np.asarray(Xj, np.float64)
+    return (Xi - Xi.mean(0)).T @ (Xj - Xj.mean(0)) / n
+
+
+@dataclass
+class TiledSparseLD:
+    """Chi-square-pruned LD in block-sparse tiles (see module docstring).
+
+    col_idx[i, 0] == i (diagonal tile first); invalid slots point at the own
+    row with valid == False so gather/scatter stays in bounds.
+    """
+
+    tile: int
+    m: int                 # real SNPs (m_pad = col_idx.shape[0] * tile)
+    col_idx: np.ndarray    # (nbr, K_max) int32, block-column of each tile
+    valid: np.ndarray      # (nbr, K_max) bool
+    tiles: np.ndarray      # (nbr, K_max, T, T)
+    nnz_col: np.ndarray    # (m,) surviving entries per column
+
+    @property
+    def nbr(self) -> int:
+        return self.col_idx.shape[0]
+
+    @property
+    def k_max(self) -> int:
+        return self.col_idx.shape[1]
+
+    @property
+    def m_pad(self) -> int:
+        return self.nbr * self.tile
+
+    @property
+    def diag(self) -> np.ndarray:
+        d = np.einsum("itt->it", self.tiles[:, 0]).reshape(-1)
+        return d[: self.m]
+
+    def nnz_per_col(self) -> np.ndarray:
+        return self.nnz_col
+
+    @property
+    def n_tiles(self) -> int:
+        return int(self.valid.sum())
+
+    def nbytes(self) -> int:
+        return self.tiles.nbytes + self.col_idx.nbytes + self.valid.nbytes
+
+    def matvec(self, v) -> np.ndarray:
+        """LD @ v with O(nnz) work (device-tiled).  Computes in the tile
+        storage dtype (f64 needs the jax_enable_x64 flag)."""
+        dt = jnp.float64 if (self.tiles.dtype == np.float64
+                             and jax.config.jax_enable_x64) else jnp.float32
+        vpad = np.zeros(self.m_pad, dtype=np.float64)
+        vpad[: self.m] = np.asarray(v, np.float64)
+        out = _tiled_matvec(
+            jnp.asarray(self.tiles, dt),
+            jnp.asarray(self.col_idx),
+            jnp.asarray(self.valid),
+            jnp.asarray(vpad, dt),
+        )
+        return np.asarray(out)[: self.m]
+
+    def to_dense(self) -> np.ndarray:
+        """Materialise (tests / small m only)."""
+        T = self.tile
+        G = np.zeros((self.m_pad, self.m_pad))
+        for i in range(self.nbr):
+            for k in range(self.k_max):
+                if self.valid[i, k]:
+                    j = int(self.col_idx[i, k])
+                    G[i * T : (i + 1) * T, j * T : (j + 1) * T] = self.tiles[i, k]
+        return G[: self.m, : self.m]
+
+    @classmethod
+    def from_dense(cls, G, tile=64, dtype=np.float64) -> "TiledSparseLD":
+        """Pack an (already pruned) dense symmetric matrix into tiles."""
+        G = np.asarray(G)
+        m = G.shape[0]
+        nbr = -(-m // tile)
+        m_pad = nbr * tile
+        Gp = np.zeros((m_pad, m_pad))
+        Gp[:m, :m] = G
+        nz = Gp.reshape(nbr, tile, nbr, tile).any(axis=(1, 3))
+        nnz_col = (G != 0).sum(axis=0).astype(np.int64)
+        return cls._assemble(Gp, nz, tile, m, nnz_col, dtype)
+
+    @classmethod
+    def _assemble(cls, Gp, nz, tile, m, nnz_col, dtype):
+        nbr = nz.shape[0]
+        np.fill_diagonal(nz, True)  # diagonal tile always stored
+        k_max = int(nz.sum(axis=1).max())
+        col_idx = np.tile(np.arange(nbr, dtype=np.int32)[:, None], (1, k_max))
+        valid = np.zeros((nbr, k_max), dtype=bool)
+        tiles = np.zeros((nbr, k_max, tile, tile), dtype=dtype)
+        for i in range(nbr):
+            js = np.flatnonzero(nz[i])
+            js = np.concatenate([[i], js[js != i]])  # diagonal first
+            col_idx[i, : len(js)] = js
+            valid[i, : len(js)] = True
+            for k, j in enumerate(js):
+                tiles[i, k] = Gp[i * tile : (i + 1) * tile, j * tile : (j + 1) * tile]
+        return cls(tile=tile, m=m, col_idx=col_idx, valid=valid, tiles=tiles,
+                   nnz_col=nnz_col)
+
+    @classmethod
+    def from_scipy(cls, mat, tile=64, dtype=np.float64) -> "TiledSparseLD":
+        import scipy.sparse as sp
+
+        csr = sp.csr_matrix(mat)
+        m = csr.shape[0]
+        nbr = -(-m // tile)
+        # tile-level pattern without densifying: block any-nonzero
+        coo = csr.tocoo()
+        nz = np.zeros((nbr, nbr), dtype=bool)
+        nz[coo.row // tile, coo.col // tile] = True
+        nnz_col = np.asarray((csr != 0).sum(axis=0)).ravel().astype(np.int64)
+        np.fill_diagonal(nz, True)
+        k_max = int(nz.sum(axis=1).max())
+        col_idx = np.tile(np.arange(nbr, dtype=np.int32)[:, None], (1, k_max))
+        valid = np.zeros((nbr, k_max), dtype=bool)
+        tiles = np.zeros((nbr, k_max, tile, tile), dtype=dtype)
+        m_pad = nbr * tile
+        for i in range(nbr):
+            js = np.flatnonzero(nz[i])
+            js = np.concatenate([[i], js[js != i]])
+            col_idx[i, : len(js)] = js
+            valid[i, : len(js)] = True
+            rows = csr[i * tile : min((i + 1) * tile, m)]
+            for k, j in enumerate(js):
+                blk = rows[:, j * tile : min((j + 1) * tile, m)].toarray()
+                tiles[i, k, : blk.shape[0], : blk.shape[1]] = blk
+        return cls(tile=tile, m=m, col_idx=col_idx, valid=valid, tiles=tiles,
+                   nnz_col=nnz_col)
+
+
+@jax.jit
+def _tiled_matvec(tiles, col_idx, valid, v):
+    nbr, k_max, T, _ = tiles.shape
+    vb = v.reshape(nbr, T)
+
+    def row(tiles_i, cols_i, valid_i):
+        segs = vb[cols_i]                                  # (K, T)
+        prods = jnp.einsum("kab,kb->ka", tiles_i, segs)    # (K, T)
+        return jnp.sum(jnp.where(valid_i[:, None], prods, 0.0), axis=0)
+
+    return jax.vmap(row)(tiles, col_idx, valid).reshape(-1)
+
+
+def build_tiled_ld(
+    geno,
+    chisq=None,
+    chrom=None,
+    tile: int = 64,
+    stripe: int = 4096,
+    dtype=np.float32,
+    progress: bool = False,
+) -> TiledSparseLD:
+    """Stream genotype column stripes through the MXU Gram and keep only LD
+    tiles with surviving entries — never materialising the m x m matrix.
+
+    keep rule (per entry): r^2 * n > chisq (reference src/tXXmat.cpp:147-152),
+    diagonal always kept; with ``chrom`` given, entries crossing chromosomes
+    are dropped (the reference's per-chromosome block layout, tXXmat_Chr,
+    src/tXXmat.cpp:504-605 — here chromosome boundaries need not be
+    tile-aligned).  chisq=None with chrom -> pure block-diagonal-by-chromosome.
+
+    Peak memory: one (stripe x stripe) float64 block + the O(nnz) tile store.
+    """
+    X = geno.values if hasattr(geno, "values") else np.asarray(geno)
+    n, m = X.shape
+    stripe = max(tile, (stripe // tile) * tile)
+    nbr = -(-m // tile)
+    m_pad = nbr * tile
+    if chisq is None and chrom is None:
+        raise ValueError("build_tiled_ld needs chisq and/or chrom (else use dense ldmat)")
+    chrom_id = None
+    if chrom is not None:
+        chrom = np.asarray(chrom).astype(str)
+        if chrom.shape[0] != m:
+            raise ValueError("chrom must have one entry per SNP")
+        _, chrom_id = np.unique(chrom, return_inverse=True)
+
+    # pass 1: per-column sd for the r^2 threshold (cheap column stats)
+    var = np.empty(m)
+    for c0 in range(0, m, stripe):
+        c1 = min(m, c0 + stripe)
+        blk = np.asarray(X[:, c0:c1], np.float64)
+        var[c0:c1] = blk.var(axis=0)
+    sd = np.sqrt(np.maximum(var, 1e-30))
+
+    row_tiles = [dict() for _ in range(nbr)]
+    nnz_col = np.zeros(m, dtype=np.int64)
+    nstripes = -(-m // stripe)
+    total_pairs = nstripes * (nstripes + 1) // 2
+    done = 0
+
+    def keep_mask(G, i0, i1, j0, j1):
+        r2n = (G / np.outer(sd[i0:i1], sd[j0:j1])) ** 2 * n
+        keep = np.ones_like(G, dtype=bool) if chisq is None else (r2n > chisq)
+        if chrom_id is not None:
+            keep &= chrom_id[i0:i1, None] == chrom_id[None, j0:j1]
+        if i0 == j0:
+            ii = np.arange(i1 - i0)
+            keep[ii, ii] = True  # diagonal always kept
+        return keep
+
+    def harvest(Gm, keep, i0, j0):
+        """Extract nonzero T x T tiles of a masked stripe block into the
+        per-block-row stores, mirroring the transpose into the other row.
+        Each global tile (gi, gj) with gj >= gi is visited by exactly one
+        stripe pair; within a diagonal stripe pair (i0 == j0) only the upper
+        tile triangle is taken (the lower is the same data transposed)."""
+        si, sj = Gm.shape
+        gi0, gj0 = i0 // tile, j0 // tile  # stripe % tile == 0 -> aligned
+        Pi = -(-si // tile) * tile
+        Pj = -(-sj // tile) * tile
+        if (Pi, Pj) != Gm.shape:
+            Gp = np.zeros((Pi, Pj), dtype=np.float64)
+            Kp = np.zeros((Pi, Pj), dtype=bool)
+            Gp[:si, :sj] = Gm
+            Kp[:si, :sj] = keep
+        else:
+            Gp, Kp = Gm, keep
+        tb = Kp.reshape(Pi // tile, tile, Pj // tile, tile).any(axis=(1, 3))
+        for bi, bj in zip(*np.nonzero(tb)):
+            gi, gj = gi0 + bi, gj0 + bj
+            if gj < gi:
+                continue  # diagonal stripe pair: lower tiles = upper^T
+            t = Gp[bi * tile : (bi + 1) * tile, bj * tile : (bj + 1) * tile]
+            row_tiles[gi][gj] = t.copy()
+            if gi != gj:
+                row_tiles[gj][gi] = t.T.copy()
+
+    for a in range(nstripes):
+        i0, i1 = a * stripe, min(m, (a + 1) * stripe)
+        Xi = np.ascontiguousarray(X[:, i0:i1])
+        for b in range(a, nstripes):
+            j0, j1 = b * stripe, min(m, (b + 1) * stripe)
+            Xj = Xi if b == a else np.ascontiguousarray(X[:, j0:j1])
+            G = _cross_cov(Xi, Xj)
+            keep = keep_mask(G, i0, i1, j0, j1)
+            Gm = np.where(keep, G, 0.0)
+            nnz_col[j0:j1] += keep.sum(axis=0)
+            if b != a:
+                nnz_col[i0:i1] += keep.sum(axis=1)
+            harvest(Gm, keep, i0, j0)
+            done += 1
+            if progress:
+                print(f"\rLD tiles: {100 * done // total_pairs}% "
+                      f"({done}/{total_pairs} stripe pairs)", end="", flush=True)
+    if progress:
+        print()
+
+    for i in range(nbr):
+        row_tiles[i].setdefault(i, np.zeros((tile, tile)))
+    k_max = max(len(d) for d in row_tiles)
+    col_idx = np.tile(np.arange(nbr, dtype=np.int32)[:, None], (1, k_max))
+    valid = np.zeros((nbr, k_max), dtype=bool)
+    tiles = np.zeros((nbr, k_max, tile, tile), dtype=dtype)
+    for i, d in enumerate(row_tiles):
+        js = sorted(d.keys())
+        js = [i] + [j for j in js if j != i]  # diagonal first
+        col_idx[i, : len(js)] = js
+        valid[i, : len(js)] = True
+        for k, j in enumerate(js):
+            tiles[i, k] = d[j]
+    return TiledSparseLD(tile=tile, m=m, col_idx=col_idx, valid=valid,
+                         tiles=tiles, nnz_col=nnz_col)

@@ -69,6 +69,10 @@ class SGibbsData(NamedTuple):
     fold: jnp.ndarray
     windindx0: jnp.ndarray
     yy: jnp.ndarray          # scalar
+    # tiled-sparse LD (O(nnz) layout, data/sparse_ld.py); ld_segs is () then
+    ld_tiles: jnp.ndarray | None = None   # (nbr, K_max, T, T)
+    ld_cols: jnp.ndarray | None = None    # (nbr, K_max) int32
+    ld_valid: jnp.ndarray | None = None   # (nbr, K_max) bool
 
 
 def prepare_sgibbs_data(
@@ -101,6 +105,38 @@ def prepare_sgibbs_data(
 
     nnz = np.asarray(ld.nnz_per_col(), dtype=np.float64)
     varediff = (m - nnz) / m
+
+    # tiled-sparse LD: single contiguous layout padded to the tile grid;
+    # the sweep walks block rows and touches only stored tiles (O(nnz))
+    from ..data.sparse_ld import TiledSparseLD
+
+    if isinstance(ld, TiledSparseLD):
+        if block != ld.tile:
+            raise ValueError(
+                f"block ({block}) must equal the LD tile size ({ld.tile})"
+            )
+        m_pad = ld.m_pad
+        pad = m_pad - m
+        windindx = np.asarray(windindx) if windindx is not None else None
+        data = SGibbsData(
+            ld_segs=(),
+            xy=jnp.asarray(np.pad(xy, (0, pad)), dtype),
+            xpx=jnp.asarray(np.pad(xpx, (0, pad)), dtype),
+            vx=jnp.asarray(np.pad(np.where(est, diag, 0.0), (0, pad)), dtype),
+            real=jnp.asarray(np.pad(est, (0, pad))),
+            varediff=jnp.asarray(np.pad(varediff, (0, pad)), dtype),
+            fold=jnp.asarray(fold if fold is not None else np.zeros(2), dtype),
+            windindx0=(
+                jnp.asarray(np.pad(windindx - 1, (0, pad), constant_values=nw), jnp.int32)
+                if windindx is not None
+                else jnp.zeros((m_pad,), jnp.int32)
+            ),
+            yy=jnp.asarray(yy, dtype),
+            ld_tiles=jnp.asarray(ld.tiles, dtype),
+            ld_cols=jnp.asarray(ld.col_idx, jnp.int32),
+            ld_valid=jnp.asarray(ld.valid),
+        )
+        return data, n_eff, vary, nvar0, (m_pad,), (m,)
 
     # segment layout: pad each chromosome block to a multiple of `block`
     from ..data.ld import BlockDiagLD
@@ -200,6 +236,17 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     vargi_acc = jnp.zeros((), dt)
     vargR_acc = jnp.zeros((), dt)
 
+    if data.ld_tiles is not None:
+        r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc = _tiled_sweep(
+            spec, consts, data, vei, g, vargL_full,
+            z_snp, u_snp, chi_snp, z2_snp, r_hat,
+        )
+        return _s_finish(
+            spec, data, key, state, g_new, track,
+            vargL_new if state.vargL.size else state.vargL,
+            r_hat, vargi_acc, vargR_acc,
+        )
+
     from ..ops import blockgibbs
 
     if spec.use_pallas and blockgibbs.supports_s(spec, spec.seg_sizes, dt):
@@ -295,6 +342,61 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     )
 
 
+def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
+                 z_snp, u_snp, chi_snp, z2_snp, r_hat):
+    """Blocked Gibbs sweep over a tiled-sparse LD (data/sparse_ld.py):
+    block row i draws against its diagonal tile W_b = n*LD[block,block], then
+    the rank-1 r_hat update touches ONLY stored tiles,
+    r_hat[rows of tile (i,j)] += n * tile(i,j)^T @ dg  — O(nnz) work and
+    bytes per sweep, the reference's CSC column-iterator semantics
+    (src/SBayesS.cpp:292-296) in an MXU-shaped layout."""
+    dt = data.xy.dtype
+    B = spec.block
+    m_pad = spec.m_pad
+    n = spec.n
+    nbr = m_pad // B
+    tiles, cols, valid = data.ld_tiles, data.ld_cols, data.ld_valid
+    k_max = tiles.shape[1]
+    rs = lambda x: x.reshape(nbr, B)
+
+    def block_body(carry, xs):
+        r_hat, vargi_acc, vargR_acc = carry
+        (i, xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb, gidx_b,
+         tiles_i, cols_i, valid_i) = xs
+        Wb = n * tiles_i[0]  # diagonal tile is stored first
+        r0 = jax.lax.dynamic_slice(r_hat, (i * B,), (B,))
+        (r_fin, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
+            partial(_snp_scan_step, spec, consts),
+            (r0, vargi_acc, vargR_acc),
+            (jnp.arange(B), gidx_b, Wb, xpx_b, vx_b, vei_b,
+             g_old_b, zb, ub, chib, z2b, vargLb),
+        )
+        dg = g_old_b - g_new_b
+
+        def tile_upd(r_acc, k):
+            j = cols_i[k]
+            upd = jnp.where(
+                valid_i[k],
+                n * jnp.matmul(tiles_i[k].T, dg, precision=HIGHEST),
+                jnp.zeros((B,), dt),
+            )
+            seg = jax.lax.dynamic_slice(r_acc, (j * B,), (B,)) + upd
+            return jax.lax.dynamic_update_slice(r_acc, seg, (j * B,)), None
+
+        r_hat, _ = jax.lax.scan(tile_upd, r_hat, jnp.arange(k_max))
+        return (r_hat, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b)
+
+    (r_hat, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
+        block_body,
+        (r_hat, jnp.zeros((), dt), jnp.zeros((), dt)),
+        (jnp.arange(nbr), rs(data.xpx), rs(data.vx), rs(vei), rs(g),
+         rs(z_snp), rs(u_snp), rs(chi_snp), rs(z2_snp), rs(vargL_full),
+         rs(jnp.arange(m_pad)), tiles, cols, valid),
+    )
+    return (r_hat, g_new.reshape(-1), track.reshape(-1),
+            vargL_new.reshape(-1), vargi_acc, vargR_acc)
+
+
 def _s_finish(spec: GibbsSpec, data: SGibbsData, key, state: SChainState,
               g, track, vargL, r_hat, vargi_acc, vargR_acc) -> SChainState:
     """Post-sweep global updates shared by all summary sweep variants:
@@ -352,7 +454,8 @@ def one_s_iteration_batch(spec: GibbsSpec, data: SGibbsData, chain_keys, states)
     mi = spec.model_index
     K = int(states.it.shape[0])
 
-    use_t = spec.use_pallas and blockgibbs_supports_s_t(spec, K, dt)
+    use_t = (data.ld_tiles is None and spec.use_pallas
+             and blockgibbs_supports_s_t(spec, K, dt))
     if not use_t:
         # vmapped scalar-chain fallback (covers the rejection guard and f64;
         # force the XLA scan inside so nothing pallas gets vmapped)

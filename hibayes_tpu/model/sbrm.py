@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.ld import BlockDiagLD, DenseLD, SparseLD
+from ..data.sparse_ld import TiledSparseLD, _tiled_matvec
 from ..data.sumstats import sumstat_matrix
 from ..engine import gibbs as G
 from ..engine import sgibbs as SG
@@ -29,7 +30,7 @@ S_METHODS = (
 
 
 def _coerce_ld(ldm):
-    if isinstance(ldm, (DenseLD, SparseLD, BlockDiagLD)):
+    if isinstance(ldm, (DenseLD, SparseLD, BlockDiagLD, TiledSparseLD)):
         return ldm
     try:
         import scipy.sparse as sp
@@ -78,7 +79,9 @@ def sbrm(
     m = ss.shape[0]
     if ld.m != m:
         raise ValueError("Number of SNPs not equals.")
-    sparse_semantics = isinstance(ld, (SparseLD, BlockDiagLD))
+    sparse_semantics = isinstance(ld, (SparseLD, BlockDiagLD, TiledSparseLD))
+    if isinstance(ld, TiledSparseLD):
+        block = ld.tile  # the sweep block IS the LD tile
 
     windindx, windinfo, nw = _resolve_windows(method, map, windsize, windnum, m)
 
@@ -198,6 +201,22 @@ def _fit_cg(ss, ld, lambda_, verbose) -> BlrMod:
             )
             g[off : off + s_] = np.asarray(x)
             off += s_
+    elif isinstance(ld, TiledSparseLD):
+        # O(nnz) device matvec over stored tiles
+        tiles = jnp.asarray(ld.tiles)
+        cols = jnp.asarray(ld.col_idx)
+        val = jnp.asarray(ld.valid)
+        mp = ld.m_pad
+
+        def mv(v):
+            vp = jnp.zeros(mp, v.dtype).at[:m].set(v)
+            return _tiled_matvec(tiles, cols, val, vp)[:m]
+
+        x, it, err = conj_grad(mv, jnp.asarray(xy / n_eff, tiles.dtype),
+                               lam=jnp.asarray(lam, tiles.dtype) if lam is not None else None)
+        g = np.asarray(x, dtype=np.float64)
+        if verbose:
+            print(f"CG finished in {int(it)} iterations, err={float(err):.3g}")
     else:
         LD = jnp.asarray(np.asarray(ld.values))
         x, it, err = conj_grad(lambda v: LD @ v, jnp.asarray(xy / n_eff),

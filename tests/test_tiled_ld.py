@@ -1,0 +1,162 @@
+"""Tiled-sparse LD storage + O(nnz) summary sweep.
+
+Reference parity targets: chisq-pruned sparse LD construction
+(src/tXXmat.cpp:147-152) and the sparse-LD SBayesS sampler semantics
+(src/SBayesS.cpp:292-296) — rebuilt as a block-sparse tile layout whose
+memory and per-sweep work are O(nnz), with the dense-segment engine as the
+small-m reference implementation it must agree with.
+"""
+
+import numpy as np
+import pytest
+
+import hibayes_tpu as ht
+from hibayes_tpu.data.ld import ldmat
+from hibayes_tpu.data.sparse_ld import TiledSparseLD, build_tiled_ld
+
+
+def _banded_geno(n=500, m=200, seed=3, copy_p=0.55):
+    """Genotype with realistic local LD (adjacent-SNP correlation ~ copy_p,
+    decaying geometrically with distance -> banded pruned pattern).  Note:
+    near-duplicate columns (copy_p >~ 0.8) make the summary model itself
+    ill-posed — the reference's SBayes samplers diverge identically there
+    (src/SBayesD.cpp:460-468 has no positivity guard on Vg)."""
+    rng = np.random.default_rng(seed)
+    base = rng.binomial(2, 0.4, size=(n, m)).astype(np.int8)
+    for j in range(1, m):
+        copy = rng.random(n) < copy_p
+        base[copy, j] = base[copy, j - 1]
+    return base
+
+
+def _sumstat(X, h2=0.4, seed=11):
+    """Consistent marginal GWAS summary stats simulated from the panel
+    itself (random betas inconsistent with the LD diverge ANY SBayes chain)."""
+    rng = np.random.default_rng(seed)
+    n, m = X.shape
+    Xf = X.astype(np.float64)
+    b_true = rng.normal(0, 1, m) * (rng.random(m) < 0.1)
+    gval = (Xf - Xf.mean(0)) @ b_true
+    gval *= np.sqrt(h2 / max(gval.var(), 1e-12))
+    y = gval + rng.normal(0, np.sqrt(1 - h2), n)
+    vx = Xf.var(axis=0)
+    beta = ((Xf - Xf.mean(0)) * (y - y.mean())[:, None]).mean(axis=0) / np.maximum(vx, 1e-12)
+    resid_var = np.maximum(y.var() - beta**2 * vx, 1e-6)
+    se = np.sqrt(resid_var / (np.maximum(vx, 1e-12) * (n - 2)))
+    maf = np.minimum(Xf.mean(0) / 2, 1 - Xf.mean(0) / 2)
+    return np.column_stack([maf, beta, se, np.full(m, n)])
+
+
+CHISQ = 30.0  # r^2 > 30/n: keeps the real local LD, prunes sampling noise
+
+
+def test_builder_matches_dense_chisq_path():
+    X = _banded_geno()
+    n = X.shape[0]
+    dense = ldmat(X, chisq=CHISQ)                       # SparseLD (dense store)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=64, dtype=np.float64)
+    np.testing.assert_allclose(tiled.to_dense(), dense.values, atol=1e-10)
+    np.testing.assert_array_equal(tiled.nnz_per_col(), dense.nnz_per_col())
+    # O(nnz): the banded pattern must store far fewer tiles than dense
+    nbr = tiled.nbr
+    assert tiled.n_tiles < 0.5 * nbr * nbr
+
+
+def test_builder_stripe_invariance():
+    X = _banded_geno(n=300, m=96)
+    a = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=32, dtype=np.float64)
+    b = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=96, dtype=np.float64)
+    np.testing.assert_allclose(a.to_dense(), b.to_dense(), atol=1e-12)
+    np.testing.assert_array_equal(a.nnz_col, b.nnz_col)
+
+
+def test_builder_per_chromosome_blocks():
+    X = _banded_geno(n=300, m=90)
+    chrom = np.repeat(["1", "2", "3"], 30)
+    tiled = build_tiled_ld(X, chisq=None, chrom=chrom, tile=16, stripe=48,
+                           dtype=np.float64)
+    dense_blocks = ldmat(X, map={"SNP": np.array([f"M{i}" for i in range(90)]),
+                                 "Chr": chrom, "Pos": np.arange(90)}, ldchr=False)
+    G = tiled.to_dense()
+    off = 0
+    for b, s in zip(dense_blocks.blocks, dense_blocks.sizes):
+        np.testing.assert_allclose(G[off : off + s, off : off + s], b, atol=1e-10)
+        # off-block entries exactly zero
+        G[off : off + s, off : off + s] = 0.0
+        off += s
+    assert np.abs(G).max() == 0.0
+
+
+def test_matvec_and_from_dense_roundtrip():
+    X = _banded_geno(n=200, m=80)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=32, dtype=np.float64)
+    D = tiled.to_dense()
+    v = np.random.default_rng(0).normal(size=80)
+    np.testing.assert_allclose(tiled.matvec(v), D @ v, atol=1e-10)
+    rt = TiledSparseLD.from_dense(D, tile=16)
+    np.testing.assert_allclose(rt.to_dense(), D, atol=1e-14)
+    np.testing.assert_array_equal(rt.nnz_col, tiled.nnz_col)
+
+
+def test_from_scipy():
+    sp = pytest.importorskip("scipy.sparse")
+    X = _banded_geno(n=200, m=64)
+    dense = ldmat(X, chisq=CHISQ)
+    csr = sp.csr_matrix(dense.values)
+    tiled = TiledSparseLD.from_scipy(csr, tile=16)
+    np.testing.assert_allclose(tiled.to_dense(), dense.values, atol=1e-12)
+    np.testing.assert_array_equal(tiled.nnz_col, dense.nnz_per_col())
+
+
+@pytest.mark.parametrize("method", ["BayesCpi", "BayesR"])
+def test_sbrm_tiled_matches_dense_sparse_chain(method):
+    """The tiled sweep must realise the SAME Markov kernel as the dense-store
+    SparseLD path: identical RNG streams, identical block order, the only
+    difference being that pruned (zero) entries are skipped.  f64 chains must
+    agree to rounding over a full fit."""
+    import jax.numpy as jnp
+
+    X = _banded_geno(n=400, m=128)
+    ss = _sumstat(X)
+    dense = ldmat(X, chisq=CHISQ)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=64, dtype=np.float64)
+
+    kw = dict(niter=600, nburn=300, seed=7, verbose=False, dtype=jnp.float64)
+    fit_d = ht.sbrm(ss, dense, method=method, block=16, **kw)
+    fit_t = ht.sbrm(ss, tiled, method=method, **kw)
+
+    assert np.isfinite(fit_d.alpha).all() and np.isfinite(fit_d.Vg)
+    np.testing.assert_allclose(fit_t.Vg, fit_d.Vg, rtol=1e-6)
+    np.testing.assert_allclose(fit_t.Ve, fit_d.Ve, rtol=1e-6)
+    np.testing.assert_allclose(fit_t.alpha, fit_d.alpha, atol=1e-8)
+    np.testing.assert_allclose(fit_t.pip, fit_d.pip, atol=1e-6)
+
+
+def test_sbrm_tiled_f32_sane():
+    """f32 (production dtype) tiled chain: finite, h2 in range."""
+    X = _banded_geno(n=400, m=192)
+    ss = _sumstat(X)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=32, stripe=64)
+    fit = ht.sbrm(ss, tiled, method="BayesCpi", niter=400, nburn=200,
+                  seed=3, verbose=False)
+    assert np.isfinite(fit.alpha).all()
+    assert 0.0 <= fit.h2 <= 1.0
+
+
+def test_cg_tiled_matches_dense():
+    X = _banded_geno(n=400, m=96)
+    ss = _sumstat(X)
+    dense = ldmat(X, chisq=CHISQ)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=48, dtype=np.float64)
+    fit_d = ht.sbrm(ss, dense, method="CG", verbose=False)
+    fit_t = ht.sbrm(ss, tiled, method="CG", verbose=False)
+    np.testing.assert_allclose(fit_t.alpha, fit_d.alpha, atol=1e-5)
+    np.testing.assert_allclose(fit_t.Vg, fit_d.Vg, rtol=1e-5)
+
+
+def test_ldmat_tiled_entry_point():
+    X = _banded_geno(n=200, m=64)
+    out = ldmat(X, chisq=CHISQ, tiled=True, tile=16, stripe=32)
+    assert isinstance(out, TiledSparseLD)
+    dense = ldmat(X, chisq=CHISQ)
+    np.testing.assert_allclose(out.to_dense(), dense.values, atol=1e-5)
