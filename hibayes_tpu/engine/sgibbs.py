@@ -237,6 +237,44 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     vargR_acc = jnp.zeros((), dt)
 
     if data.ld_tiles is not None:
+        from ..ops import blockgibbs
+
+        nbr, k_max = data.ld_tiles.shape[0], data.ld_tiles.shape[1]
+        if spec.use_pallas and blockgibbs.supports_s_tiled(spec, nbr, k_max, dt):
+            import jax as _jax
+
+            interp = _jax.default_backend() == "cpu"
+            c = dict(consts)
+            c["vargL_vec"] = vargL_full
+            P = blockgibbs._pack_rows(
+                spec, c, data.xpx, data.vx, vei, g, z_snp, u_snp, chi_snp
+            )
+            if spec.reject_guard and spec.model_index in (4, 6):
+                z_retry = jax.random.normal(
+                    jax.random.fold_in(key, blockgibbs.STREAM_SNP_ZR),
+                    (blockgibbs.N_RETRY, m_pad), dtype=dt,
+                )
+                P = jnp.concatenate([
+                    P,
+                    blockgibbs._pack_retry_rows(
+                        spec, consts, data.xpx, data.vx, vei, z_retry
+                    ),
+                ])
+            R = P.shape[0]
+            P_blocks = P.reshape(R, nbr, B).transpose(1, 0, 2)
+            dg, track, r_new = blockgibbs.sweep_s_tiled(
+                spec, consts, data.ld_tiles, data.ld_cols, data.ld_valid,
+                r_hat, P_blocks, n, interpret=interp,
+            )
+            g_new = g - dg.astype(dt)
+            vargi_acc, vargR_acc, vargL_new = _s_sweep_accums(
+                spec, data, state, vei, g_new, track, u_snp, z2_snp, vargL_full
+            )
+            return _s_finish(
+                spec, data, key, state, g_new, track,
+                vargL_new if state.vargL.size else state.vargL,
+                r_new.astype(dt), vargi_acc, vargR_acc,
+            )
         r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc = _tiled_sweep(
             spec, consts, data, vei, g, vargL_full,
             z_snp, u_snp, chi_snp, z2_snp, r_hat,
@@ -395,6 +433,42 @@ def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
     )
     return (r_hat, g_new.reshape(-1), track.reshape(-1),
             vargL_new.reshape(-1), vargi_acc, vargR_acc)
+
+
+def _s_sweep_accums(spec: GibbsSpec, data: SGibbsData, state: SChainState,
+                    vei, g, track, u_snp, z2_snp, vargL_full):
+    """Order-independent post-sweep accumulators (equivalent to the scan's
+    running sums): BayesC nonzero-effect variance sum, BayesR per-fold sum,
+    BayesL per-SNP inverse-Gaussian local variances (they feed only the NEXT
+    sweep, reference src/Bayes.cpp:718-742)."""
+    dt = data.xy.dtype
+    mi = spec.model_index
+    if mi == 4:
+        vargi_acc = jnp.sum(jnp.where(track == 1, g * g, 0.0))
+    else:
+        vargi_acc = jnp.zeros((), dt)
+    if mi == 6:
+        ffold = data.fold[track]
+        vargR_acc = jnp.sum(
+            jnp.where(track > 0, g * g / jnp.maximum(ffold, 1e-30), 0.0)
+        )
+    else:
+        vargR_acc = jnp.zeros((), dt)
+    if mi == 5 and state.vargL.size:
+        lam2 = state.lambda2
+        lam = jnp.sqrt(lam2)
+        mu_ig = jnp.sqrt(vei) * lam / jnp.maximum(jnp.abs(g), 1e-30)
+        y2 = z2_snp * z2_snp
+        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
+            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
+        )
+        ig = jnp.where(u_snp <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
+        vargi = 1.0 / ig
+        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
+        vargL = jnp.where((data.vx > 0) & ok, vargi, vargL_full)
+    else:
+        vargL = state.vargL
+    return vargi_acc, vargR_acc, vargL
 
 
 def _s_finish(spec: GibbsSpec, data: SGibbsData, key, state: SChainState,
@@ -720,61 +794,12 @@ def _one_s_iteration_pallas(spec, data, key, state, consts, vei, vargL_full,
     dg = jnp.concatenate(dg_parts).astype(dt)
     track = jnp.concatenate(track_parts)
     g = state.g - dg
-    mi = spec.model_index
 
-    if mi == 4:
-        vargi_acc = jnp.sum(jnp.where(track == 1, g * g, 0.0))
-    else:
-        vargi_acc = jnp.zeros((), dt)
-    if mi == 6:
-        ffold = data.fold[track]
-        vargR_acc = jnp.sum(
-            jnp.where(track > 0, g * g / jnp.maximum(ffold, 1e-30), 0.0)
-        )
-    else:
-        vargR_acc = jnp.zeros((), dt)
-    if mi == 5 and state.vargL.size:
-        lam2 = state.lambda2
-        lam = jnp.sqrt(lam2)
-        mu_ig = jnp.sqrt(vei) * lam / jnp.maximum(jnp.abs(g), 1e-30)
-        y2 = z2_snp * z2_snp
-        xig = mu_ig + 0.5 * mu_ig * mu_ig * y2 / lam2 - 0.5 * (mu_ig / lam2) * jnp.sqrt(
-            4.0 * mu_ig * lam2 * y2 + mu_ig * mu_ig * y2 * y2
-        )
-        ig = jnp.where(u_snp <= mu_ig / (mu_ig + xig), xig, mu_ig * mu_ig / xig)
-        vargi = 1.0 / ig
-        ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
-        vargL = jnp.where((data.vx > 0) & ok, vargi, vargL_full)
-    else:
-        vargL = state.vargL
-
-    varg, pi, vara_fold, lambda2 = alphabet_global_updates(
-        spec, key, g, track, data.real, data.fold,
-        vargi_acc, vargR_acc, vargL if state.vargL.size else vargL_full,
-        state.varg, state.pi, state.vara_fold, state.lambda2,
+    vargi_acc, vargR_acc, vargL = _s_sweep_accums(
+        spec, data, state, vei, g, track, u_snp, z2_snp, vargL_full
     )
-
-    kvara = jax.random.fold_in(key, 31)
-    chi_a = 2.0 * jax.random.gamma(kvara, jnp.asarray((n + spec.dfvara) / 2.0, dt), dtype=dt)
-    vara = (jnp.dot(g, data.xy - r_hat, precision=HIGHEST) + spec.s2vara * spec.dfvara) / chi_a
-    kve = jax.random.fold_in(key, STREAM_VE)
-    chi_e = 2.0 * jax.random.gamma(kve, jnp.asarray((n + spec.dfvare) / 2.0, dt), dtype=dt)
-    vare = (data.yy - jnp.dot(g, data.xy + r_hat, precision=HIGHEST)
-            + spec.s2vare * spec.dfvare) / chi_e
-    vare = jnp.where(vare < 0, 0.5 * vara, vare)
-
-    post = state.it >= spec.nburn
-    nz = (track > 0) & data.real
-    nzrate = state.nzrate + jnp.where(post, nz.astype(dt), 0.0)
-    wppa = state.wppa
-    if spec.nw:
-        win_any = jax.ops.segment_max(
-            nz.astype(jnp.int32), data.windindx0, num_segments=spec.nw + 1
-        )[: spec.nw]
-        wppa = wppa + jnp.where(post, win_any.astype(dt), 0.0)
-
-    return SChainState(
-        it=state.it + 1, r_hat=r_hat, g=g, varg=varg, vargL=vargL,
-        lambda2=lambda2, pi=pi, vara_fold=vara_fold, vara=vara, vare=vare,
-        track=track, nzrate=nzrate, wppa=wppa,
+    return _s_finish(
+        spec, data, key, state, g, track,
+        vargL if state.vargL.size else state.vargL,
+        r_hat, vargi_acc, vargR_acc,
     )

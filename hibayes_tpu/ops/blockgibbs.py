@@ -1382,3 +1382,198 @@ def _phase_c(spec, consts, vx, vei, g_new, track, u_snp, z2_snp, vargL,
     else:
         vargL_new = vargL.astype(F32)
     return (g_new, track, vargL_new, yadj_out, u_out, vargi_acc, vargR_acc)
+
+
+# ---------------------------------------------------------------------------
+# tiled-sparse summary sweep: one grid step per LD BLOCK ROW; the full r_hat
+# state lives in VMEM scratch as (nbr, B) (m_pad*4 bytes), and each step
+# reads/updates only that row's STORED tiles — O(nnz) HBM traffic per sweep,
+# the Pallas realisation of the reference's CSC column iterator
+# (src/SBayesS.cpp:292-296).  The SBayesS rejection guard runs in-kernel with
+# N_RETRY precomputed retry draws (the reference retries <=100 times from the
+# same conditional then zeroes, src/SBayesS.cpp:388-398; bounded retries with
+# independent normals are the same truncation up to the tail probability).
+# ---------------------------------------------------------------------------
+
+N_RETRY = 8
+STREAM_SNP_ZR = 15  # retry-normal stream (engine/gibbs.py stream registry)
+
+
+def _guard_base(spec: GibbsSpec) -> int:
+    """Index of the first guard row (vx) appended after the _pack_rows rows."""
+    mi = spec.model_index
+    if mi in (1, 2, 5):
+        return 4
+    if mi in (3, 4):
+        return 5
+    return 2 + 4 * (spec.n_fold - 1) + 1  # BayesR: [rg,g, (A,B,iv,sz)*, u]
+
+
+def _pack_retry_rows(spec: GibbsSpec, consts, xpx, vx, vei, z_retry):
+    """Guard rows: [vx, sd*z_1 .. sd*z_NR] (BayesC) or
+    [vx, (sd_f*z_1)_f .. (sd_f*z_NR)_f] (BayesR, folds 1..nf-1)."""
+    mi = spec.model_index
+    x = xpx.astype(F32)
+    ve = vei.astype(F32)
+    act = vx > 0
+    rows = [vx.astype(F32)]
+    if mi == 4:
+        v = x + ve / consts["varg"].astype(F32)
+        sd = jnp.where(act, jnp.sqrt(ve / v), 0.0)
+        for r in range(N_RETRY):
+            rows.append(sd * z_retry[r].astype(F32))
+    elif mi == 6:
+        sds = []
+        for f in range(1, spec.n_fold):
+            vara_f = jnp.maximum(consts["vara_fold"][f], 1e-30).astype(F32)
+            vf = x + ve / vara_f
+            sds.append(jnp.where(act, jnp.sqrt(ve / vf), 0.0))
+        for r in range(N_RETRY):
+            for f in range(1, spec.n_fold):
+                rows.append(sds[f - 1] * z_retry[r].astype(F32))
+    return jnp.stack(rows)
+
+
+def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, K: int, n: int,
+                    guard: bool,
+                    scal_ref, cols_ref, valid_ref, P_ref, tiles_ref, r_in_ref,
+                    dg_out_ref, track_out_ref, r_out_ref,
+                    r_hat_s, r_loc, dg_s, track_s):
+    i = pl.program_id(0)
+    nbr = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        r_hat_s[:] = r_in_ref[:]
+
+    P = P_ref[0]                 # (R, B)
+    nf32 = jnp.float32(n)
+    logpi0 = scal_ref[0]
+    vary = scal_ref[1]
+    mi = spec.model_index
+    nf = spec.n_fold
+    base = _guard_base(spec)
+
+    r_loc[:] = r_hat_s[pl.ds(i, 1), :]
+    dg_s[:] = jnp.zeros((1, B), F32)
+    track_s[:] = jnp.zeros((1, B), F32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    def body(j, _):
+        mask = lane == j
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1)
+        vals = lambda r: red[r]
+        rj = jnp.sum(jnp.where(mask, r_loc[:], 0.0))
+        rhs = rj + red[0]
+        gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+        if guard and mi in (4, 6):
+            vxj = red[base]
+            on = track > 0
+            rej = (gi * gi * vxj > vary) & on
+            for r in range(N_RETRY):
+                if mi == 4:
+                    cand = rhs * red[2] + red[base + 1 + r]
+                else:
+                    cand = jnp.zeros_like(gi)
+                    for f in range(1, nf):
+                        cf = rhs * red[4 + 4 * (f - 1)] + red[base + 1 + r * (nf - 1) + (f - 1)]
+                        cand = jnp.where(track == f, cf, cand)
+                gi = jnp.where(rej, cand, gi)
+                rej = (gi * gi * vxj > vary) & on
+            gi = jnp.where(rej, jnp.zeros_like(gi), gi)
+        dg = red[1] - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        if track is not None:
+            track_s[:] = jnp.where(mask, track, track_s[:])
+        # in-block Gram row: n * (diagonal tile row j)
+        wrow = tiles_ref[0, 0, pl.ds(j, 1), :].astype(F32)
+        r_loc[:] = r_loc[:] + dg * nf32 * wrow
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # scatter: r_hat[block cols_ref[k]] += n * tile_k^T @ dg  (stored tiles only)
+    for k in range(K):
+        j = cols_ref[0, 0, k]
+        tk = tiles_ref[0, k].astype(F32)                      # (B, B)
+        upd = jax.lax.dot_general(
+            dg_s[:], tk, (((1,), (0,)), ((), ())), preferred_element_type=F32
+        )                                                     # (1, B)
+        vk = valid_ref[0, 0, k].astype(F32)
+        cur = r_hat_s[pl.ds(j, 1), :]
+        r_hat_s[pl.ds(j, 1), :] = cur + nf32 * vk * upd
+
+    @pl.when(i == nbr - 1)
+    def _():
+        r_out_ref[:] = r_hat_s[:]
+
+
+def supports_s_tiled(spec: GibbsSpec, nbr: int, k_max: int, dtype) -> bool:
+    if dtype != jnp.float32:
+        return False
+    B = spec.block
+    if B % 128 != 0:
+        return False
+    vmem = (
+        3 * nbr * B * 4                 # r_in + r_out + r_hat scratch
+        + 2 * k_max * B * B * 4         # double-buffered tile row
+        + 2 * 64 * B * 4                # P rows (generous R bound)
+    )
+    return vmem < 13 * 1024 * 1024
+
+
+def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
+                  P_blocks, n: int, interpret=False):
+    """Sweep the whole tiled LD.  tiles (nbr, K, B, B); cols/valid (nbr, K);
+    r_hat (m_pad,); P_blocks (nbr, R, B).  Returns (dg, track, r_hat_new),
+    each (m_pad,)."""
+    nbr, K, B, _ = tiles.shape
+    R = P_blocks.shape[1]
+    guard = bool(spec.reject_guard) and spec.model_index in (4, 6)
+    scal = jnp.stack([
+        consts["logpi"][0].astype(F32),
+        jnp.asarray(spec.vary, F32),
+    ])
+    kern = functools.partial(_kernel_s_tiled, spec, B, R, K, n, guard)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dg, track_f, r_new = pl.pallas_call(
+        kern,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, B, B), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            full((nbr, B)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((nbr, B)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nbr, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr, B), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbr, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        cols.astype(jnp.int32).reshape(nbr, 1, K),
+        valid.astype(jnp.int32).reshape(nbr, 1, K),
+        P_blocks.astype(F32),
+        tiles.astype(F32),
+        r_hat.astype(F32).reshape(nbr, B),
+    )
+    return (dg.reshape(nbr * B), track_f.reshape(nbr * B).astype(jnp.int32),
+            r_new.reshape(nbr * B))
