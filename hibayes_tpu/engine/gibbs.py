@@ -470,7 +470,16 @@ def blocked_mme_gibbs(A, diagA, x, b, ve, z, block):
 # ---------------------------------------------------------------------------
 
 
-def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
+def snp_shard_count(nblocks: int, mesh) -> int:
+    """Shards of the SNP-block axis a mesh provides (1 = not sharded)."""
+    if mesh is None:
+        return 1
+    s = int(mesh.shape.get("snp", 1))
+    return s if s > 1 and nblocks % s == 0 else 1
+
+
+def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
+                  mesh=None):
     """One full MCMC iteration = pre-sweep effects + SNP sweep + global
     updates.  Split into three phases so multi-chain execution can vmap the
     cheap phases and hand the sweep to a batched kernel."""
@@ -482,6 +491,12 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState)
     dt = data.y.dtype
     itemsize = data.X_blocks.dtype.itemsize
     interp = jax.default_backend() == "cpu"  # interpreter off-TPU (tests)
+    if snp_shard_count(spec.nblocks, mesh) > 1:
+        sweep_out = _sweep_snp_sharded(
+            spec, data, pre["consts"], pre["rnd"], pre["vei"], state.g,
+            pre["vargL_in"], pre["yadj"], pre["u"], mesh,
+        )
+        return _post_sweep(spec, data, key, state, pre, sweep_out)
     if spec.use_pallas and blockgibbs.supports(spec, spec.n, dt, geno_itemsize=itemsize):
         sweep_out = blockgibbs.sweep(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
@@ -726,6 +741,109 @@ def _sweep_xla(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g, vargL_in,
         vargi_acc,
         vargR_acc,
     )
+
+
+def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
+                       vargL_in, yadj, u, mesh):
+    """Exact SNP-axis model-parallel sweep (SURVEY §2.3 P3 / §7 hard part 1;
+    reference hot loop: src/Bayes.cpp:586-816).
+
+    Each device owns a contiguous run of SNP blocks — the X/W block shards
+    live only in its HBM, which is what makes 50k x 500k (25 GB int8) fit an
+    8-chip slice.  The single-device block ORDER is preserved exactly by
+    sweeping shards in turn: shard s runs its local block scan while the
+    others skip (lax.cond), then the yadj/u deltas are merged into every
+    replica with one psum over the `snp` mesh axis (the residual-correction
+    merge over ICI).  Same Markov kernel as the single-device sweep; the
+    n axis may be sharded simultaneously (psum over `ind` inside the turn).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    dt = yadj.dtype
+    B = spec.block
+    nb = spec.nblocks
+    has_ind = int(mesh.shape.get("ind", 1)) > 1
+    S = int(mesh.shape["snp"])
+    z_snp, u_snp, chi_snp, z2_snp = rnd
+    rs = lambda x: x.reshape(nb, B)
+    pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
+          rs(chi_snp), rs(z2_snp), rs(vargL_in), rs(jnp.arange(spec.m_pad)))
+
+    def body(X, W, pvt, yadj, u, consts):
+        xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb = pvt
+        sidx = jax.lax.axis_index("snp")
+        nb_loc = X.shape[0]
+
+        def local_sweep(args):
+            yadj, u = args
+
+            def block_body(carry, xs):
+                yadj, u, vargi, vargR = carry
+                Xb, Wb, xpxj, vxj, veij, gj, zj, uj, chij, z2j, vLj, gidxj = xs
+                Xl = Xb.astype(dt)
+                r0 = jnp.matmul(Xl.T, yadj, precision=HIGHEST)
+                if has_ind:
+                    r0 = jax.lax.psum(r0, "ind")
+                (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
+                    partial(_snp_scan_step, spec, consts),
+                    (r0, vargi, vargR),
+                    (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj, uj,
+                     chij, z2j, vLj),
+                )
+                dg = gj - g_new_b
+                delta = jnp.matmul(Xl, dg, precision=HIGHEST)
+                return (yadj + delta, u - delta, vargi, vargR), (
+                    g_new_b, track_b, vargL_new_b)
+
+            (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
+                block_body, (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
+                (X, W, xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb),
+            )
+            return ya2, u2, vargi, vargR, gn, tr, vl
+
+        def skip(args):
+            yadj, u = args
+            return (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt),
+                    g_b, jnp.zeros((nb_loc, B), jnp.int32), vargLb)
+
+        def turn(carry, s):
+            yadj, u, vargi_t, vargR_t, g_cur, tr_cur, vl_cur = carry
+            act = sidx == s
+            ya2, u2, vargi, vargR, gn, tr, vl = jax.lax.cond(
+                act, local_sweep, skip, (yadj, u))
+            # merge this shard's residual corrections into every replica
+            yadj = yadj + jax.lax.psum(ya2 - yadj, "snp")
+            u = u + jax.lax.psum(u2 - u, "snp")
+            g_cur = jnp.where(act, gn, g_cur)
+            tr_cur = jnp.where(act, tr, tr_cur)
+            vl_cur = jnp.where(act, vl, vl_cur)
+            return (yadj, u, vargi_t + vargi, vargR_t + vargR,
+                    g_cur, tr_cur, vl_cur), None
+
+        init = (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt),
+                g_b, jnp.zeros((nb_loc, B), jnp.int32), vargLb)
+        (yadj, u, vargi, vargR, g_new, track, vargL_new), _ = jax.lax.scan(
+            turn, init, jnp.arange(S))
+        vargi = jax.lax.psum(vargi, "snp")
+        vargR = jax.lax.psum(vargR, "snp")
+        return g_new, track, vargL_new, yadj, u, vargi, vargR
+
+    ind_spec = PS("ind") if has_ind else PS()
+    pv_spec = tuple(PS("snp", None) for _ in pv)
+    consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts)
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(PS("snp", "ind" if has_ind else None, None),
+                  PS("snp", None, None), pv_spec, ind_spec, ind_spec,
+                  consts_spec),
+        out_specs=(PS("snp", None), PS("snp", None), PS("snp", None),
+                   ind_spec, ind_spec, PS(), PS()),
+        check_vma=False,
+    )(data.X_blocks, data.W_blocks, pv, yadj, u, consts)
+    g_new, track, vargL_new, yadj, u, vargi, vargR = out
+    return (g_new.reshape(spec.m_pad), track.reshape(spec.m_pad),
+            vargL_new.reshape(spec.m_pad), yadj, u, vargi, vargR)
 
 
 def _recompute_residuals(spec: GibbsSpec, data: GibbsData, mu, beta, estR,
@@ -1105,9 +1223,10 @@ def _snapshot(spec: GibbsSpec, state: ChainState):
     return snap
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
-    step = lambda s: one_iteration(spec, data, base_key, s)
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
+             mesh=None):
+    step = lambda s: one_iteration(spec, data, base_key, s, mesh=mesh)
 
     state = jax.lax.fori_loop(0, spec.nburn, lambda i, s: step(s), state)
 
@@ -1119,15 +1238,17 @@ def _run_all(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState):
     return state, samples
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _run_burn_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state):
-    step = lambda s: one_iteration(spec, data, base_key, s)
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_burn_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state,
+                      mesh=None):
+    step = lambda s: one_iteration(spec, data, base_key, s, mesh=mesh)
     return jax.lax.fori_loop(0, k, lambda i, s: step(s), state)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state):
-    step = lambda s: one_iteration(spec, data, base_key, s)
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, state,
+                        mesh=None):
+    step = lambda s: one_iteration(spec, data, base_key, s, mesh=mesh)
 
     def record_body(state, _):
         state = jax.lax.fori_loop(0, spec.thin, lambda i, s: step(s), state)
@@ -1137,7 +1258,7 @@ def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, stat
 
 
 def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
-                   verbose):
+                   verbose, mesh=None):
     """Chunked execution with checkpointing + reference-style progress rows
     (iter / NnzSnp / pi / Vg / Ve / h2 / time left — src/Bayes.cpp:884-914)."""
     import time as _time
@@ -1174,7 +1295,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
     while int(state.it) < spec.nburn:
         k = min(burn_chunk, spec.nburn - int(state.it))
         state = jax.block_until_ready(
-            _run_burn_segment(spec, k, data, base_key, state)
+            _run_burn_segment(spec, k, data, base_key, state, mesh)
         )
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
@@ -1183,7 +1304,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
     # record phase in chunks
     while n_done_records < spec.n_records:
         k = min(chunk_records, spec.n_records - n_done_records)
-        state, chunk = _run_record_segment(spec, k, data, base_key, state)
+        state, chunk = _run_record_segment(spec, k, data, base_key, state, mesh)
         state, chunk = jax.block_until_ready((state, chunk))
         samples_parts.append({kk: np.asarray(v) for kk, v in chunk.items()})
         n_done_records += k
@@ -1238,10 +1359,10 @@ def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=66
             if segmented:
                 state, samples = _run_segmented(
                     spec, data, base_key, state0, checkpoint_path, chunk_records,
-                    progress,
+                    progress, mesh=mesh,
                 )
             else:
-                state, samples = _run_all(spec, data, base_key, state0)
+                state, samples = _run_all(spec, data, base_key, state0, mesh)
     else:
         state0 = init_state(spec, data, priors, pi_init)
         if segmented:

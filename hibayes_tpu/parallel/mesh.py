@@ -52,14 +52,20 @@ def shard_gibbs_data(data: GibbsData, mesh: Mesh) -> GibbsData:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     snp_size = mesh.shape.get("snp", 1)
-    w_spec = (
-        P("snp", None, None)
-        if data.W_blocks.shape[0] % max(snp_size, 1) == 0
-        else P(None, None, None)
+    nblocks = data.X_blocks.shape[0]
+    snp_divides = nblocks % max(snp_size, 1) == 0
+    w_spec = P("snp", None, None) if snp_divides else P(None, None, None)
+    # SNP-axis model parallelism: each device's HBM holds only its own SNP
+    # blocks; the sweep runs shards in turn with psum-merged residual
+    # corrections (engine/gibbs._sweep_snp_sharded) — exact chain
+    x_spec = (
+        P("snp", "ind", None)
+        if snp_size > 1 and snp_divides
+        else P(None, "ind", None)
     )
     return data._replace(
         y=put(data.y, P("ind")),
-        X_blocks=put(data.X_blocks, P(None, "ind", None)),
+        X_blocks=put(data.X_blocks, x_spec),
         W_blocks=put(data.W_blocks, w_spec),
         xpx=put(data.xpx, P()),
         vx=put(data.vx, P()),

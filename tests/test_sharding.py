@@ -58,11 +58,67 @@ def test_sharded_chain_matches_single_device():
     )
 
 
-def test_2d_mesh_runs():
-    data, spec, pr, pi = build()
-    mesh = make_mesh(8, shape=(4, 2))
-    _, samples, _ = G.run_chain(spec, data, pr, pi, seed=17, mesh=mesh)
-    assert np.isfinite(np.asarray(samples["alpha"])).all()
+def test_snp_sharded_chain_matches_single_device():
+    """SNP-axis model parallelism (SURVEY §2.3 P3): X/W block shards live on
+    their own devices, shards sweep in turn with psum-merged residual
+    corrections — the chain must match single-device to the same standard as
+    the ind-sharded test."""
+    data, spec, pr, pi = build(m=512)  # 16 blocks: divisible by 8 shards
+    _, s1, ex1 = G.run_chain(spec, data, pr, pi, seed=17)
+    mesh = make_mesh(8, shape=(1, 8))
+    _, s8, ex8 = G.run_chain(spec, data, pr, pi, seed=17, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s1["alpha"]), np.asarray(s8["alpha"]), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(s1["Vg"]), np.asarray(s8["Vg"]), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ex1["pip"]), np.asarray(ex8["pip"]), rtol=1e-8)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_2d_mesh_matches_single_device(shape):
+    """Simultaneous n-DP + m-MP: equality, not just finiteness."""
+    data, spec, pr, pi = build(m=512)
+    _, s1, ex1 = G.run_chain(spec, data, pr, pi, seed=17)
+    mesh = make_mesh(8, shape=shape)
+    _, s8, ex8 = G.run_chain(spec, data, pr, pi, seed=17, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s1["alpha"]), np.asarray(s8["alpha"]), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(ex1["pip"]), np.asarray(ex8["pip"]), rtol=1e-8)
+
+
+def test_snp_sharding_scales_memory():
+    """The compiled step must NOT gather the full genotype to one device:
+    per-device live temp stays far below the global X size (the property that
+    lets 50k x 500k int8 = 25 GB span an 8-chip slice)."""
+    from functools import partial
+
+    from hibayes_tpu.parallel.mesh import shard_gibbs_data, shard_state
+
+    data, spec, pr, pi = build(m=2048, n=256, block=32)  # X = 4.2 MB global
+    mesh = make_mesh(8, shape=(1, 8))
+    d8 = shard_gibbs_data(data, mesh)
+    st0 = shard_state(G.init_state(spec, d8, pr, pi), mesh)
+    with mesh:
+        compiled = (
+            jax.jit(partial(G.one_iteration, spec, mesh=mesh))
+            .lower(d8, jax.random.PRNGKey(0), st0)
+            .compile()
+        )
+    xbytes = data.X_blocks.size * data.X_blocks.dtype.itemsize
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    assert temp < xbytes / 4, f"temp {temp} vs X {xbytes}: full gather suspected"
+
+
+def test_snp_sharded_with_bslmm_unsupported_falls_back():
+    """Non-divisible block counts keep the replicated layout and still match."""
+    data, spec, pr, pi = build(m=96)  # 3 blocks: NOT divisible by 8
+    _, s1, _ = G.run_chain(spec, data, pr, pi, seed=5)
+    mesh = make_mesh(8, shape=(1, 8))
+    _, s8, _ = G.run_chain(spec, data, pr, pi, seed=5, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s1["alpha"]), np.asarray(s8["alpha"]), rtol=1e-8, atol=1e-10
+    )
 
 
 def test_sharded_matches_for_bayesr():
