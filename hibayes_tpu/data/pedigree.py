@@ -155,12 +155,123 @@ def make_ainv(s_idx, d_idx, compat_hibayes=False):
 def solve_a_ng(Ai_nn, Ai_ng):
     """A.ng = solve(Ai.nn, -Ai.ng): the imputation operator mapping genotyped
     to non-genotyped individuals (reference: R/ssbayes.r:296-301).  Sparse LU
-    on host; the resulting dense operator feeds device matmuls."""
+    on host; the resulting dense operator feeds device matmuls.  Direct path
+    for small pedigrees — at scale the dense (n_ng x n_g) operator is never
+    materialised; see :class:`ImputationOperator`."""
     from scipy.sparse.linalg import splu
 
     lu = splu(sp.csc_matrix(Ai_nn))
     rhs = -np.asarray(Ai_ng.todense() if sp.issparse(Ai_ng) else Ai_ng)
     return lu.solve(rhs)
+
+
+def coo_device(A):
+    """Sparse matrix -> (rows, cols, vals) device arrays for the O(nnz)
+    segment-sum matvec (TPU-native sparse A-inverse operator)."""
+    import jax.numpy as jnp
+
+    coo = sp.coo_matrix(A)
+    return (jnp.asarray(coo.row.astype(np.int32)),
+            jnp.asarray(coo.col.astype(np.int32)),
+            jnp.asarray(coo.data))
+
+
+class ImputationOperator:
+    """Matrix-free A.ng = Ai_nn^{-1} (-Ai_ng): applies the imputation operator
+    to column blocks with diagonally preconditioned batched CG on device
+    (matvec = COO segment-sum over the pedigree sparsity, O(nnz) per column).
+
+    Replaces the dense (n_ng x n_g) operator of :func:`solve_a_ng` at scale
+    (reference does the dense solve in R's Matrix package,
+    R/ssbayes.r:296-301; 100k-id pedigrees make that a >10 GB matrix).
+    """
+
+    def __init__(self, Ai_nn, Ai_ng, tol=1e-8, maxiter=None):
+        import jax.numpy as jnp
+
+        self.n_ng, self.n_g = Ai_ng.shape
+        self.tol = tol
+        self.maxiter = maxiter if maxiter is not None else 10 * self.n_ng
+        nn = sp.csr_matrix(Ai_nn)
+        self._rows, self._cols, self._vals = coo_device(nn)
+        self._diag = jnp.asarray(nn.diagonal())
+        self._Ai_ng = sp.csr_matrix(Ai_ng)
+
+    def apply(self, V) -> np.ndarray:
+        """A.ng @ V for dense V of shape (n_g, k) (or (n_g,)) — one batched
+        PCG solve; never materialises A.ng."""
+        V = np.asarray(V)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        rhs = -(self._Ai_ng @ V)
+        X, it = _get_coo_pcg_solve()(
+            self.n_ng, self.maxiter, self._rows, self._cols, self._vals,
+            self._diag, rhs, self.tol,
+        )
+        X = np.asarray(X)
+        return X[:, 0] if squeeze else X
+
+    def impute(self, M, rows_needed=None, chunk_cols=2048,
+               verbose=False) -> np.ndarray:
+        """Mn[rows_needed] = (A.ng @ M)[rows_needed], solved in column chunks
+        of M so peak memory is O(n_ng * chunk) (R/ssbayes.r:305 at scale)."""
+        M = np.asarray(M)
+        m = M.shape[1]
+        rows_needed = (np.arange(self.n_ng) if rows_needed is None
+                       else np.asarray(rows_needed))
+        out = np.empty((len(rows_needed), m), dtype=np.float64)
+        for c0 in range(0, m, chunk_cols):
+            c1 = min(m, c0 + chunk_cols)
+            out[:, c0:c1] = self.apply(M[:, c0:c1])[rows_needed]
+            if verbose:
+                print(f"\rimputing genotypes: {100 * c1 // m}%", end="", flush=True)
+        if verbose:
+            print()
+        return out
+
+
+def _coo_pcg_solve_impl(n_ng, maxiter, rows, cols, vals, diag, rhs, tol):
+    import jax
+
+    from ..math.solvers import pcg_batched
+
+    def matvec_block(X):
+        return jax.ops.segment_sum(
+            vals[:, None] * X[cols], rows, num_segments=n_ng
+        )
+
+    return pcg_batched(matvec_block, rhs, diag=diag, tol=tol, maxiter=maxiter)
+
+
+_coo_pcg_solve = None  # jitted lazily (jax import kept off the module path)
+
+
+def _get_coo_pcg_solve():
+    """Batched PCG against the COO segment-sum matvec, jitted ONCE at module
+    level with the sparse arrays as ARGUMENTS (closure capture would bake the
+    O(nnz) arrays into the executable as constants and trigger XLA constant
+    folding on every compile)."""
+    global _coo_pcg_solve
+    if _coo_pcg_solve is None:
+        import functools
+
+        import jax
+
+        _coo_pcg_solve = functools.partial(
+            jax.jit(_coo_pcg_solve_impl, static_argnums=(0, 1))
+        )
+    return _coo_pcg_solve
+
+
+def rcm_permutation(A) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering of a symmetric sparse matrix —
+    clusters pedigree families so the A-inverse(nn) block becomes banded and
+    packs efficiently into the tiled-sparse layout used by the in-chain
+    epsilon Gibbs."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(reverse_cuthill_mckee(sp.csr_matrix(A), symmetric_mode=True))
 
 
 def read_pedigree(path: str, header=True):

@@ -110,6 +110,7 @@ class GibbsSpec:
     # single step / BSLMM toggles
     ne: int = 0             # phenotyped individuals with imputed genotype
     qe: int = 0             # epsilon levels (non-genotyped pedigree ids)
+    qe_pad: int = 0         # qe padded to the epsilon tile grid (0 -> == qe)
     use_bslmm: bool = False
     # sbrm-style strict positivity check for the BayesL local variance
     vargl_strict_pos: bool = False
@@ -197,7 +198,12 @@ class GibbsData(NamedTuple):
     epsl_yJ: jnp.ndarray       # (n,) J covariate
     epsl_LHS_A: jnp.ndarray    # (qe, qe) dense A-inverse(nn) block
     epsl_codes: jnp.ndarray    # (ne,) int32 -> level of each imputed individual
-    epsl_counts: jnp.ndarray   # (qe,)
+    epsl_counts: jnp.ndarray   # (qe_pad,)
+    # sparse A-inverse(nn) in BSR tiles (data/sparse_ld layout, RCM-ordered);
+    # replaces the dense epsl_LHS_A at scale — sizes 0 when off
+    epsl_tiles: jnp.ndarray = None    # (nbr, K, T, T)
+    epsl_cols: jnp.ndarray = None     # (nbr, K) int32
+    epsl_valid: jnp.ndarray = None    # (nbr, K) bool
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +471,70 @@ def blocked_mme_gibbs(A, diagA, x, b, ve, z, block):
     return x
 
 
+def blocked_mme_gibbs_tiled(tiles, cols, valid, counts, scale, x, b, ve, z):
+    """Single-site Gibbs sweep over LHS = scale*A + diag(counts) with A in
+    BSR tiles (data/sparse_ld layout, diagonal tile first) — the sparse
+    counterpart of :func:`blocked_mme_gibbs` for pedigree-sized epsilon
+    systems (reference: src/solver.cpp:131-140 iterates arma::sp_mat columns).
+    Work and residual updates touch only stored tiles: O(nnz) per sweep.
+
+    Returns (x_new, A @ x_new) — the matvec feeds the veps quadratic form.
+    """
+    from ..data.sparse_ld import _tiled_matvec
+
+    q = x.shape[0]
+    nbr, K, T, _ = tiles.shape
+    dt = x.dtype
+    tiles = tiles.astype(dt)
+    Ax = _tiled_matvec(tiles, cols, valid, x)
+    res = b - scale * Ax - counts * x
+
+    def block_body(carry, xs):
+        x_all, res = carry
+        i, tiles_i, cols_i, valid_i, cnt_b, zb = xs
+        Wb = scale * tiles_i[0] + jnp.diag(cnt_b)
+        db = jnp.diagonal(Wb)
+        r_local = jax.lax.dynamic_slice(res, (i * T,), (T,))
+        xb = jax.lax.dynamic_slice(x_all, (i * T,), (T,))
+
+        def site(carry_in, sxs):
+            r_loc, = carry_in
+            j, wcol, xj, aii, zj = sxs
+            ok = aii > 0  # zero-padded tail sites stay frozen
+            aii_s = jnp.where(ok, aii, 1.0)
+            xnew = jnp.where(ok, r_loc[j] / aii_s + xj + jnp.sqrt(ve / aii_s) * zj, xj)
+            dx = xnew - xj
+            r_loc = r_loc - dx * wcol
+            return (r_loc,), (xnew, dx)
+
+        (_,), (xnew_b, dx_b) = jax.lax.scan(
+            site, (r_local,), (jnp.arange(T), Wb.T, xb, db, zb)
+        )
+
+        def tile_upd(res_acc, k):
+            j = cols_i[k]
+            upd = jnp.where(
+                valid_i[k],
+                scale * jnp.matmul(tiles_i[k].T, dx_b, precision=HIGHEST),
+                jnp.zeros((T,), dt),
+            )
+            seg = jax.lax.dynamic_slice(res_acc, (j * T,), (T,)) - upd
+            return jax.lax.dynamic_update_slice(res_acc, seg, (j * T,)), None
+
+        res, _ = jax.lax.scan(tile_upd, res, jnp.arange(K))
+        seg = jax.lax.dynamic_slice(res, (i * T,), (T,)) - cnt_b * dx_b
+        res = jax.lax.dynamic_update_slice(res, seg, (i * T,))
+        x_all = jax.lax.dynamic_update_slice(x_all, xnew_b, (i * T,))
+        return (x_all, res), None
+
+    (x, res), _ = jax.lax.scan(
+        block_body, (x, res),
+        (jnp.arange(nbr), tiles, cols, valid,
+         counts.reshape(nbr, T), z.reshape(nbr, T)),
+    )
+    return x, _tiled_matvec(tiles, cols, valid, x)
+
+
 # ---------------------------------------------------------------------------
 # one full MCMC iteration
 # ---------------------------------------------------------------------------
@@ -617,21 +687,34 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
         u = u - (J_beta - J_new) * data.epsl_yJ
         J_beta = J_new
         # epsilon | rest: single-site Gibbs on (Z'Z + Ainn * ve/veps)
+        qe_p = spec.qe_pad or qe
         yadj_tail = yadj[n - ne:]
         rhs_e = (
-            jax.ops.segment_sum(yadj_tail, data.epsl_codes, num_segments=qe)
+            jax.ops.segment_sum(yadj_tail, data.epsl_codes, num_segments=qe_p)
             + data.epsl_counts * epsl_estR
         )
         scale = ve / vepstmp
-        LHS = data.epsl_LHS_A * scale + jnp.diag(data.epsl_counts)
-        diagL = jnp.diag(LHS)
-        ze = jax.random.normal(kz, (qe,), dtype=dt)
-        eb = min(spec.block, qe) if qe % min(spec.block, qe) == 0 else qe
-        new_e = blocked_mme_gibbs(LHS, diagL, epsl_estR, rhs_e, ve, ze, eb)
+        ze = jax.random.normal(kz, (qe_p,), dtype=dt)
+        if data.epsl_tiles is not None:
+            # sparse (RCM-ordered, BSR-tiled) A-inverse: O(nnz) per sweep,
+            # no (qe, qe) dense matrix ever exists on device
+            ze = jnp.where(jnp.arange(qe_p) < qe, ze, 0.0)  # freeze pad sites
+            new_e, Ae = blocked_mme_gibbs_tiled(
+                data.epsl_tiles, data.epsl_cols, data.epsl_valid,
+                data.epsl_counts, scale, epsl_estR, rhs_e, ve, ze,
+            )
+            quad = jnp.dot(new_e, Ae, precision=HIGHEST)
+        else:
+            LHS = data.epsl_LHS_A * scale + jnp.diag(data.epsl_counts)
+            diagL = jnp.diag(LHS)
+            eb = min(spec.block, qe) if qe % min(spec.block, qe) == 0 else qe
+            new_e = blocked_mme_gibbs(LHS, diagL, epsl_estR, rhs_e, ve, ze, eb)
+            quad = jnp.dot(
+                new_e, jnp.matmul(data.epsl_LHS_A, new_e, precision=HIGHEST)
+            )
         diff_e = (epsl_estR - new_e)[data.epsl_codes]
         yadj = yadj.at[n - ne:].add(diff_e)
         u = u.at[n - ne:].add(-diff_e)
-        quad = jnp.dot(new_e, jnp.matmul(data.epsl_LHS_A, new_e, precision=HIGHEST))
         chi = 2.0 * jax.random.gamma(kchi, jnp.asarray((spec.dfvara + qe) / 2.0, dt), dtype=dt)
         vepstmp = (quad + spec.s2vara * spec.dfvara) / chi
         veps = vepstmp
@@ -1052,6 +1135,33 @@ def prepare_gibbs_data(
     m_pad = pad_to_block(m, block)
     nblocks = m_pad // block
 
+    # epsilon-term A-inverse(nn): dense array (small qe), scipy sparse, or a
+    # prebuilt TiledSparseLD — sparse inputs pack into BSR tiles so the
+    # in-chain Gibbs never materialises the (qe, qe) dense matrix
+    epsl_tiles_obj = None
+    qe_pad = qe
+    if epsl_A is not None and qe:
+        from ..data.sparse_ld import TiledSparseLD
+
+        if isinstance(epsl_A, TiledSparseLD):
+            epsl_tiles_obj = epsl_A
+        else:
+            try:
+                import scipy.sparse as _sp
+
+                if _sp.issparse(epsl_A):
+                    etile = int(min(block, 128))
+                    epsl_tiles_obj = TiledSparseLD.from_scipy(
+                        epsl_A, tile=etile,
+                        dtype=np.float32 if dtype == jnp.float32 else np.float64,
+                    )
+            except ImportError:
+                epsl_A = np.asarray(
+                    epsl_A.todense() if hasattr(epsl_A, "todense") else epsl_A
+                )
+        if epsl_tiles_obj is not None:
+            qe_pad = epsl_tiles_obj.m_pad
+
     if use_int8:
         if not np.issubdtype(M_np.dtype, np.integer):
             if not np.all(M_np == np.round(M_np)):
@@ -1142,16 +1252,26 @@ def prepare_gibbs_data(
         K=jnp.asarray(K, dtype) if K is not None else jnp.zeros((0, 0), dtype),
         Kval=jnp.asarray(Kval, dtype) if Kval is not None else zero,
         epsl_yJ=jnp.asarray(epsl_yJ, dtype) if epsl_yJ is not None else zero,
-        epsl_LHS_A=jnp.asarray(epsl_A, dtype) if epsl_A is not None else jnp.zeros((0, 0), dtype),
+        epsl_LHS_A=(
+            jnp.asarray(epsl_A, dtype)
+            if epsl_A is not None and epsl_tiles_obj is None
+            else jnp.zeros((0, 0), dtype)
+        ),
         epsl_codes=jnp.asarray(epsl_codes, jnp.int32) if epsl_codes is not None else jnp.zeros((0,), jnp.int32),
         epsl_counts=(
             jax.ops.segment_sum(
                 jnp.ones((len(epsl_codes),), dtype), jnp.asarray(epsl_codes, jnp.int32),
-                num_segments=qe,
+                num_segments=qe_pad if qe else qe,
             )
             if qe
             else zero
         ),
+        epsl_tiles=(jnp.asarray(epsl_tiles_obj.tiles, dtype)
+                    if epsl_tiles_obj is not None else None),
+        epsl_cols=(jnp.asarray(epsl_tiles_obj.col_idx, jnp.int32)
+                   if epsl_tiles_obj is not None else None),
+        epsl_valid=(jnp.asarray(epsl_tiles_obj.valid)
+                    if epsl_tiles_obj is not None else None),
     )
 
 
@@ -1192,7 +1312,7 @@ def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> Cha
         va=jnp.asarray(priors.varg, dt),
         vb=jnp.asarray(priors.vara, dt),
         J_beta=jnp.zeros((), dt),
-        epsl_estR=jnp.zeros((spec.qe,), dt),
+        epsl_estR=jnp.zeros((spec.qe_pad or spec.qe,), dt),
         vepstmp=jnp.asarray(priors.vara, dt),
         veps=jnp.asarray(priors.vara, dt),
     )
@@ -1219,7 +1339,7 @@ def _snapshot(spec: GibbsSpec, state: ChainState):
     if spec.qe:
         snap["Veps"] = state.veps
         snap["J"] = state.J_beta
-        snap["epsilon"] = state.epsl_estR
+        snap["epsilon"] = state.epsl_estR[: spec.qe]
     return snap
 
 

@@ -78,6 +78,53 @@ def pcg(matvec, b, x0=None, tol=1e-6, maxiter=None, nprobes=16):
     return pcg_with_diag(matvec, b, diag, x0=x0, tol=tol, maxiter=maxiter)
 
 
+def pcg_batched(matvec, B, diag=None, tol=1e-8, maxiter=None):
+    """Jacobi-preconditioned CG over a BATCH of right-hand sides (n, k):
+    the block variant of the reference's PCGm (src/solver.cpp:44-52).
+    `matvec` maps (n, k) -> (n, k) column-wise (apply A to every column).
+    Per-column step sizes; stops when every column's residual norm < tol
+    relative to its RHS norm.  Returns (X, iterations)."""
+    B = jnp.asarray(B)
+    n, k = B.shape
+    maxiter = n if maxiter is None else maxiter
+    if diag is None:
+        minv = jnp.ones((n, 1), B.dtype)
+    else:
+        d = jnp.where(diag == 0, 1e-4, diag)
+        minv = (1.0 / d).reshape(n, 1)
+    bnorm = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-30)
+    X = jnp.zeros_like(B)
+    R = B - matvec(X)
+    Z = minv * R
+    P = Z
+
+    def cdot(a, b):
+        return jnp.sum(a * b, axis=0)  # (k,)
+
+    def cond(c):
+        X, R, Z, P, rz, it = c
+        err = jnp.linalg.norm(R, axis=0) / bnorm
+        return (jnp.max(err) > tol) & (it < maxiter)
+
+    def body(c):
+        X, R, Z, P, rz, it = c
+        AP = matvec(P)
+        a = rz / jnp.maximum(cdot(P, AP), 1e-300)
+        X = X + a[None, :] * P
+        R1 = R - a[None, :] * AP
+        Z1 = minv * R1
+        rz1 = cdot(Z1, R1)
+        beta = rz1 / jnp.maximum(rz, 1e-300)
+        P = Z1 + beta[None, :] * P
+        return (X, R1, Z1, P, rz1, it + 1)
+
+    rz0 = cdot(Z, R)
+    X, R, Z, P, rz, it = jax.lax.while_loop(
+        cond, body, (X, R, Z, P, rz0, jnp.zeros((), jnp.int32))
+    )
+    return X, it
+
+
 def pcg_with_diag(matvec, b, diag, x0=None, tol=1e-6, maxiter=None):
     b = jnp.asarray(b)
     m = b.shape[0]

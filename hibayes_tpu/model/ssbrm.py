@@ -15,7 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pedigree import make_ainv, make_ped, solve_a_ng
+from ..data.pedigree import (
+    ImputationOperator,
+    make_ainv,
+    make_ped,
+    rcm_permutation,
+    solve_a_ng,
+)
 from ..engine import gibbs as G
 from .formula import build_model_frame
 from .ibrm import (
@@ -63,7 +69,16 @@ def ssbrm(
     dtype=jnp.float32,
     ainv_compat_hibayes=False,
     nchains=1,
+    impute="auto",
+    chunk_cols=4096,
 ) -> BlrMod:
+    """impute: "direct" materialises the dense (n_ng, n_g) operator and the
+    dense epsilon A-inverse (the reference's R-side path, R/ssbayes.r:296-307
+    — fine for small pedigrees); "pcg" is the scale path — matrix-free
+    batched-PCG imputation in `chunk_cols` column chunks plus an RCM-ordered
+    BSR-tiled A-inverse for the in-chain epsilon Gibbs, so no dense
+    (n_ng x n_g) or (qe x qe) matrix ever exists; "auto" switches to "pcg"
+    when n_ng * n_g exceeds 2^24 entries."""
     if method == "BSLMM":
         raise ValueError("BSLMM is not supported for the single-step model.")
     if method not in METHODS:
@@ -140,20 +155,38 @@ def ssbrm(
     ng_mask = np.ones(len(ped_ids), dtype=bool)
     ng_mask[g_indx] = False
     ng_indx = np.flatnonzero(ng_mask)
+    if impute not in ("auto", "direct", "pcg"):
+        raise ValueError("impute must be 'auto', 'direct' or 'pcg'")
+    scale_path = impute == "pcg" or (
+        impute == "auto" and len(ng_indx) * len(g_indx) > (1 << 24)
+    )
+    if scale_path:
+        # RCM-cluster the non-genotyped block so its A-inverse is banded
+        # (efficient BSR tiling for the in-chain epsilon Gibbs); pure level
+        # reordering — results are keyed by id
+        perm = rcm_permutation(Ai[np.ix_(ng_indx, ng_indx)])
+        ng_indx = ng_indx[perm]
     Mn_id = ped_ids[ng_indx]
     Ai_nn = Ai[np.ix_(ng_indx, ng_indx)]
     Ai_ng = Ai[np.ix_(ng_indx, g_indx)]
 
     if verbose:
-        print(f"{len(ped_ids)} pedigree ids; imputing genotype for {len(Mn_id)} individuals")
-    A_ng = solve_a_ng(Ai_nn, Ai_ng)  # (n_ng, n_g) dense imputation operator
-
-    # genotype imputation on device: Mn = A.ng @ M  (R/ssbayes.r:305-307)
-    Mn = np.asarray(
-        jnp.matmul(jnp.asarray(A_ng, dtype), jnp.asarray(M_values, dtype), precision=HIGHEST)
-    )
+        print(f"{len(ped_ids)} pedigree ids; imputing genotype for {len(Mn_id)} "
+              f"individuals ({'matrix-free PCG' if scale_path else 'direct solve'})")
     J = np.full(len(M_id), -1.0)
-    Jn = A_ng @ J
+    mn_rows_pheno = None  # filled after y ids are known
+    if scale_path:
+        a_op = ImputationOperator(Ai_nn, Ai_ng)
+        Jn = a_op.apply(J)
+        A_ng = None
+        Mn = None
+    else:
+        A_ng = solve_a_ng(Ai_nn, Ai_ng)  # (n_ng, n_g) dense imputation operator
+        # genotype imputation on device: Mn = A.ng @ M  (R/ssbayes.r:305-307)
+        Mn = np.asarray(
+            jnp.matmul(jnp.asarray(A_ng, dtype), jnp.asarray(M_values, dtype), precision=HIGHEST)
+        )
+        Jn = A_ng @ J
 
     # --- reorder phenotypes to [genotyped; imputed] (R/ssbayes.r:310-319) ---
     y_all = mf_all.y if (~in_ped).sum() == 0 else None
@@ -173,11 +206,17 @@ def ssbrm(
 
     mn_pos = {v: i for i, v in enumerate(Mn_id)}
     y_Mn_indx = np.array([mn_pos[i] for i in y_Mn_id], dtype=np.int64)
-    yM = np.vstack([
-        M_values[np.isin(M_id, y_ids)],
-        Mn[np.isin(Mn_id, y_ids)],
-    ])
-    yJ = np.concatenate([J[np.isin(M_id, y_ids)], Jn[np.isin(Mn_id, y_ids)]])
+    mn_rows_pheno = np.flatnonzero(np.isin(Mn_id, y_ids))
+    if scale_path:
+        # impute ONLY the phenotyped non-genotyped rows, in column chunks
+        Mn_pheno = a_op.impute(
+            M_values, rows_needed=mn_rows_pheno, chunk_cols=chunk_cols,
+            verbose=verbose,
+        )
+    else:
+        Mn_pheno = Mn[mn_rows_pheno]
+    yM = np.vstack([M_values[np.isin(M_id, y_ids)], Mn_pheno])
+    yJ = np.concatenate([J[np.isin(M_id, y_ids)], Jn[mn_rows_pheno]])
 
     ne = len(y_Mn_id)
     qe = len(Mn_id)
@@ -197,7 +236,7 @@ def ssbrm(
         y_ord, yM, C=X_ord, r_codes=r_codes_ord, r_nlevels=nlevels,
         fold=fold, windindx=windindx, nw=nw,
         epsl_yJ=yJ if ne else None,
-        epsl_A=np.asarray(Ai_nn.todense()) if ne else None,
+        epsl_A=(Ai_nn if scale_path else np.asarray(Ai_nn.todense())) if ne else None,
         epsl_codes=y_Mn_indx if ne else None,
         qe=qe if ne else 0,
         block=block, dtype=dtype,
@@ -217,6 +256,7 @@ def ssbrm(
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
         dfr=pr.dfr, s2r=pr.s2r, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
         ne=ne if ne else 0, qe=qe if ne else 0,
+        qe_pad=int(gdata.epsl_counts.shape[0]) if ne else 0,
         use_pallas=dtype == jnp.float32 and jax.default_backend() != "cpu",
     )
     if verbose:
@@ -246,7 +286,10 @@ def ssbrm(
     alpha_s = s["alpha"]
     n_rec = alpha_s.shape[0]
     all_ids = np.concatenate([M_id, Mn_id])
-    g_samples = np.vstack([M_values @ alpha_s.T, Mn @ alpha_s.T])
+    top = M_values @ alpha_s.T
+    # lower block: A.ng @ (M @ alpha') == Mn @ alpha' without materialising Mn
+    lower = a_op.apply(top) if scale_path else Mn @ alpha_s.T
+    g_samples = np.vstack([top, lower])
     if ne:
         Jcat = np.concatenate([J, Jn])
         g_samples = g_samples + Jcat[:, None] * s["J"][None, :]

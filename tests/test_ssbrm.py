@@ -227,3 +227,138 @@ def test_ssbrm_demo_golden_vs_reference_readme(demo):
     for k, (mean, sd) in enumerate([(0.1516, 0.106), (0.1856, 0.127),
                                     (0.1671, 0.144), (0.4957, 0.195)]):
         assert abs(fit.pi[k] - mean) < 3 * sd + 0.05
+
+
+# ---------------------------------------------------- scale path (PCG/tiled)
+def _random_pedigree(nfound, nkid, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = [f"F{i}" for i in range(nfound)]
+    sires = ["0"] * nfound
+    dams = ["0"] * nfound
+    for k in range(nkid):
+        ids.append(f"K{k}")
+        sires.append(ids[rng.integers(0, len(ids) - 1)])
+        dams.append(ids[rng.integers(0, len(ids) - 1)])
+    return np.array(ids), np.array(sires), np.array(dams)
+
+
+def test_imputation_operator_matches_dense_solve():
+    from hibayes_tpu.data.pedigree import ImputationOperator, make_ainv, make_ped
+
+    rng = np.random.default_rng(3)
+    ids, sires, dams = _random_pedigree(60, 400, seed=1)
+    ped_ids, s_idx, d_idx = make_ped(ids, sires, dams)
+    Ai = make_ainv(s_idx, d_idx)
+    n = len(ped_ids)
+    g_indx = rng.choice(n, 120, replace=False)
+    ng = np.setdiff1d(np.arange(n), g_indx)
+    Ai_nn = Ai[np.ix_(ng, ng)]
+    Ai_ng = Ai[np.ix_(ng, g_indx)]
+    A_dense = solve_a_ng(Ai_nn, Ai_ng)
+    op = ImputationOperator(Ai_nn, Ai_ng)
+    V = rng.normal(size=(len(g_indx), 7))
+    np.testing.assert_allclose(op.apply(V), A_dense @ V, atol=1e-6)
+    M = rng.binomial(2, 0.3, (len(g_indx), 50)).astype(np.float64)
+    rows = np.sort(rng.choice(len(ng), 40, replace=False))
+    np.testing.assert_allclose(
+        op.impute(M, rows_needed=rows, chunk_cols=16), (A_dense @ M)[rows],
+        atol=1e-6,
+    )
+
+
+def test_blocked_mme_gibbs_tiled_matches_dense():
+    import jax.numpy as jnp
+
+    import scipy.sparse as sp
+
+    from hibayes_tpu.data.pedigree import make_ainv, make_ped, rcm_permutation
+    from hibayes_tpu.data.sparse_ld import TiledSparseLD
+    from hibayes_tpu.engine.gibbs import blocked_mme_gibbs, blocked_mme_gibbs_tiled
+
+    rng = np.random.default_rng(5)
+    ids, sires, dams = _random_pedigree(40, 300, seed=2)
+    _, s_idx, d_idx = make_ped(ids, sires, dams)
+    Ai = sp.csr_matrix(make_ainv(s_idx, d_idx))
+    perm = rcm_permutation(Ai)
+    A = Ai[perm][:, perm]
+    q = A.shape[0]
+    T = 16
+    qe_pad = -(-q // T) * T
+    tl = TiledSparseLD.from_scipy(A, tile=T)
+    counts = np.zeros(qe_pad)
+    counts[:q] = rng.integers(0, 3, q).astype(float)
+    b = np.zeros(qe_pad)
+    b[:q] = rng.normal(size=q)
+    z = np.zeros(qe_pad)
+    z[:q] = rng.normal(size=q)
+    ve, scale = 1.3, 0.7
+    A_pad = np.zeros((qe_pad, qe_pad))
+    A_pad[:q, :q] = A.toarray()
+    LHS = A_pad * scale + np.diag(counts)
+    xt, Ae = blocked_mme_gibbs_tiled(
+        jnp.asarray(tl.tiles), jnp.asarray(tl.col_idx), jnp.asarray(tl.valid),
+        jnp.asarray(counts), jnp.asarray(scale), jnp.zeros(qe_pad),
+        jnp.asarray(b), jnp.asarray(ve), jnp.asarray(z),
+    )
+    xd = blocked_mme_gibbs(
+        jnp.asarray(LHS), jnp.asarray(np.diag(LHS)), jnp.zeros(qe_pad),
+        jnp.asarray(b), jnp.asarray(ve), jnp.asarray(z), T,
+    )
+    np.testing.assert_allclose(np.asarray(xt)[:q], np.asarray(xd)[:q], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Ae), A_pad @ np.asarray(xt), atol=1e-9)
+    assert (np.asarray(xt)[q:] == 0).all()  # pad sites frozen
+
+
+def test_ssbrm_pcg_path_statistically_matches_direct(demo):
+    bin_, pheno, (pid, ps, pd_) = demo
+    kw = dict(
+        data=pheno, M=bin_["geno"].values, M_id=bin_["fam"][1],
+        pedigree={"id": pid, "sire": ps, "dam": pd_},
+        method="BayesCpi", niter=2000, nburn=1200, thin=5,
+        verbose=False, seed=11,
+    )
+    fd = ssbrm("T1~sex+(1|loc)", impute="direct", **kw)
+    fp = ssbrm("T1~sex+(1|loc)", impute="pcg", **kw)
+    assert np.isfinite(fp.g["gebv"]).all()
+    np.testing.assert_allclose(fp.Vg, fd.Vg, rtol=0.25)
+    np.testing.assert_allclose(fp.Ve, fd.Ve, rtol=0.25)
+    np.testing.assert_allclose(fp.h2, fd.h2, atol=0.08)
+    gd = dict(zip(fd.g["id"], fd.g["gebv"]))
+    gp = dict(zip(fp.g["id"], fp.g["gebv"]))
+    ids = list(gd)
+    corr = np.corrcoef([gd[i] for i in ids], [gp[i] for i in ids])[0, 1]
+    assert corr > 0.9, f"GEBV corr {corr}"
+
+
+def test_ssbrm_scale_synthetic_no_dense_operator(monkeypatch):
+    """The PCG scale path must never build the dense (n_ng, n_g) operator or
+    the dense (qe, qe) epsilon matrix (VERDICT task: 100k-pedigree class
+    problems; sized down for CI runtime)."""
+    import hibayes_tpu.model.ssbrm as SS
+
+    def boom(*a, **k):
+        raise AssertionError("dense solve_a_ng called on the scale path")
+
+    monkeypatch.setattr(SS, "solve_a_ng", boom)
+
+    rng = np.random.default_rng(7)
+    ids, sires, dams = _random_pedigree(500, 7500, seed=4)  # 8000 ids
+    n_g, m = 1500, 64
+    geno_ids = rng.choice(ids, n_g, replace=False)
+    M = rng.binomial(2, 0.35, (n_g, m)).astype(np.int8)
+    # phenotype 600 genotyped + 600 non-genotyped ids
+    others = np.setdiff1d(ids, geno_ids)
+    phe_ids = np.concatenate([
+        rng.choice(geno_ids, 600, replace=False),
+        rng.choice(others, 600, replace=False),
+    ])
+    y = rng.normal(0, 1, len(phe_ids))
+    fit = SS.ssbrm(
+        "y~1", data={"id": phe_ids, "y": y}, M=M, M_id=geno_ids,
+        pedigree={"id": ids, "sire": sires, "dam": dams},
+        method="BayesCpi", niter=20, nburn=10, thin=5,
+        verbose=False, impute="pcg", chunk_cols=32,
+    )
+    assert np.isfinite(fit.g["gebv"]).all()
+    assert len(fit.g["id"]) == len(ids)
+    assert fit.Veps is not None and np.isfinite(fit.Veps)
