@@ -108,23 +108,37 @@ def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
     return spec.niter_eff * m * nchains / elapsed, elapsed
 
 
-def measure_reference_emulation(n, m, iters=3):
-    """The reference hot loop shape: sequential per-SNP ddot + daxpy (BLAS-1)
-    over a dense double genotype (src/Bayes.cpp:586-605)."""
+def measure_reference_emulation(n, m, iters=10):
+    """The reference hot loop: sequential per-SNP ddot + daxpy over a dense
+    double genotype (src/Bayes.cpp:586-605), COMPILED C -O3 -march=native
+    (native/src/ref_hotloop.c) — an honest stand-in for the Rcpp/BLAS-1 loop.
+    Falls back to a NumPy loop (~100x slower) when no toolchain exists."""
     rng = np.random.default_rng(0)
-    X = rng.binomial(2, 0.3, size=(n, m)).astype(np.float64)
+    X = np.asfortranarray(rng.binomial(2, 0.3, size=(n, m)).astype(np.float64))
     yadj = rng.normal(size=n)
     g = np.zeros(m)
     xpx = (X * X).sum(axis=0)
+    z = rng.normal(size=(iters, m)).reshape(-1)
+
+    try:
+        from hibayes_tpu.native import hotloop
+
+        if hotloop.available():
+            hotloop.run(X, yadj.copy(), g.copy(), xpx, z, 1)  # warm cache
+            t0 = time.time()
+            hotloop.run(X, yadj, g, xpx, z, iters)
+            return iters * m / (time.time() - t0)
+    except ImportError:
+        pass
+
     ve, varg = 1.0, 0.01
-    z = rng.normal(size=(iters, m))
     t0 = time.time()
     for it in range(iters):
         for j in range(m):
             xj = X[:, j]
             rhs = xj @ yadj + xpx[j] * g[j]
             v = xpx[j] + ve / varg
-            gi = rhs / v + np.sqrt(ve / v) * z[it, j]
+            gi = rhs / v + np.sqrt(ve / v) * z[it * m + j]
             yadj += (g[j] - gi) * xj
             g[j] = gi
     elapsed = time.time() - t0
