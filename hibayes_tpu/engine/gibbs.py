@@ -114,6 +114,11 @@ class GibbsSpec:
     use_bslmm: bool = False
     # sbrm-style strict positivity check for the BayesL local variance
     vargl_strict_pos: bool = False
+    # counting convention of `data.real`: the summary engine's real mask
+    # already excludes the nvar0 non-estimable SNPs (sgibbs real = est),
+    # the individual engine's does not (real = non-padding, monomorphic
+    # included) — mixture counts must not subtract nvar0 twice
+    real_excl_nvar0: bool = False
     # SBayesS-style effect rejection guard (needs vary)
     reject_guard: bool = False
     vary: float = 1.0
@@ -409,14 +414,20 @@ def alphabet_global_updates(
         for f in range(spec.n_fold):
             counts.append(jnp.sum((track == f) & real).astype(dt))
         fold_num = jnp.stack(counts)
-        nnz = m_real - fold_num[0]  # nvar0 subtracted below for pi only
+        # reference semantics (Bayes.cpp:443-455, SBayesD.cpp:443-455):
+        # NnzSnp = m - #(track==0 over ALL m); pi counts subtract nvar0 from
+        # the zero fold.  When `real` already excludes the nvar0 SNPs
+        # (summary engine), counts[0] IS the reference's fold0 - nvar0.
+        zero_all = fold_num[0] + (nvar0 if spec.real_excl_nvar0 else 0)
+        nnz = m_real - zero_all
         df = spec.dfvara + nnz
         chi = 2.0 * jax.random.gamma(kvarg, df / 2.0, dtype=dt)
         varg = (vargR_acc + s2varg_df) / chi
         vara_fold = varg * fold
-        fold_num = fold_num.at[0].add(-nvar0)
+        if not spec.real_excl_nvar0:
+            fold_num = fold_num.at[0].add(-nvar0)
         if not spec.fixpi:
-            gam = jax.random.gamma(kpi, fold_num + 1.0, dtype=dt)
+            gam = jax.random.gamma(kpi, jnp.maximum(fold_num, 0.0) + 1.0, dtype=dt)
             pi = gam / jnp.sum(gam)
     return varg, pi, vara_fold, lambda2
 

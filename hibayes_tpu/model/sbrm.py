@@ -111,7 +111,7 @@ def sbrm(
         nvar0=nvar0, nw=nw, fixpi=fixpi,
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
         s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
-        vargl_strict_pos=True,
+        vargl_strict_pos=True, real_excl_nvar0=True,
         reject_guard=sparse_semantics, vary=vary,
         seg_sizes=seg_sizes, seg_real=seg_real,
         use_pallas=dtype == jnp.float32 and __import__("jax").default_backend() != "cpu",

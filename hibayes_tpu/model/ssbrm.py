@@ -160,15 +160,20 @@ def ssbrm(
     scale_path = impute == "pcg" or (
         impute == "auto" and len(ng_indx) * len(g_indx) > (1 << 24)
     )
+    # row-then-column slicing: scipy's np.ix_ on sparse samples the FULL
+    # dense index pattern (O(n_ng^2) work) and overflows at 100k-id scale
+    Ai_rows = Ai.tocsr()[ng_indx]
+    Ai_nn = Ai_rows.tocsc()[:, ng_indx]
     if scale_path:
         # RCM-cluster the non-genotyped block so its A-inverse is banded
         # (efficient BSR tiling for the in-chain epsilon Gibbs); pure level
         # reordering — results are keyed by id
-        perm = rcm_permutation(Ai[np.ix_(ng_indx, ng_indx)])
+        perm = rcm_permutation(Ai_nn)
         ng_indx = ng_indx[perm]
+        Ai_rows = Ai.tocsr()[ng_indx]
+        Ai_nn = Ai_rows.tocsc()[:, ng_indx]
     Mn_id = ped_ids[ng_indx]
-    Ai_nn = Ai[np.ix_(ng_indx, ng_indx)]
-    Ai_ng = Ai[np.ix_(ng_indx, g_indx)]
+    Ai_ng = Ai_rows.tocsc()[:, g_indx]
 
     if verbose:
         print(f"{len(ped_ids)} pedigree ids; imputing genotype for {len(Mn_id)} "
