@@ -193,23 +193,46 @@ class ImputationOperator:
         self.tol = tol
         self.maxiter = maxiter if maxiter is not None else 10 * self.n_ng
         nn = sp.csr_matrix(Ai_nn)
+        self._nn_csr = nn
         self._rows, self._cols, self._vals = coo_device(nn)
         self._diag = jnp.asarray(nn.diagonal())
         self._Ai_ng = sp.csr_matrix(Ai_ng)
 
     def apply(self, V) -> np.ndarray:
-        """A.ng @ V for dense V of shape (n_g, k) (or (n_g,)) — one batched
-        PCG solve; never materialises A.ng."""
+        """A.ng @ V for dense V of shape (n_g, k) (or (n_g,)) — batched PCG
+        with mixed-precision iterative refinement; never materialises A.ng.
+
+        The device solve runs in whatever precision jax provides (f32 unless
+        jax_enable_x64); residuals are recomputed in f64 on host against the
+        scipy sparse matvec and the correction re-solved, so the final
+        solution reaches f64 accuracy even on an f32-only device — the
+        standard TPU-idiomatic refinement loop."""
         V = np.asarray(V)
         squeeze = V.ndim == 1
         if squeeze:
             V = V[:, None]
-        rhs = -(self._Ai_ng @ V)
-        X, it = _get_coo_pcg_solve()(
-            self.n_ng, self.maxiter, self._rows, self._cols, self._vals,
-            self._diag, rhs, self.tol,
-        )
-        X = np.asarray(X)
+        B = -(self._Ai_ng @ np.asarray(V, np.float64))
+        nn = self._nn_csr
+        X = np.zeros_like(B)
+        bnorm = max(float(np.abs(B).max()), 1e-30)
+        solve = _get_coo_pcg_solve()
+        inner_tol = self.tol
+        for _ in range(6):
+            R = B - nn @ X  # exact f64 residual on host
+            rel = float(np.abs(R).max()) / bnorm
+            if rel < self.tol:
+                break
+            dX, it = solve(
+                self.n_ng, min(self.maxiter, 1500), self._rows, self._cols,
+                self._vals, self._diag, R, max(inner_tol, 1e-6),
+            )
+            dX = np.asarray(dX, np.float64)
+            if not np.isfinite(dX).all():  # f32 stall guard: fall back
+                from scipy.sparse.linalg import splu
+
+                X = splu(self._nn_csr.tocsc()).solve(B)
+                break
+            X = X + dX
         return X[:, 0] if squeeze else X
 
     def impute(self, M, rows_needed=None, chunk_cols=2048,
