@@ -198,11 +198,6 @@ def ldmat(
     if chisq is not None and chisq < 0:
         chisq = None
     if tiled:
-        if gwas_geno is not None:
-            raise NotImplementedError(
-                "tiled=True does not support the gwas.geno overlay yet; "
-                "use the dense/block path for overlay panels"
-            )
         from .sparse_ld import build_tiled_ld
 
         chrom_arg = None
@@ -210,10 +205,27 @@ def ldmat(
             chrom_arg = np.asarray(
                 map["Chr"] if isinstance(map, dict) else map[:, 1]
             ).astype(str)
+        gwas_X = gwas_pos = None
+        if gwas_geno is not None:
+            if map is None or gwas_map is None:
+                raise ValueError("map information for both panels should be provided.")
+            ref_ids = np.asarray(
+                map["SNP"] if isinstance(map, dict) else map[:, 0]
+            ).astype(str)
+            gw_ids = np.asarray(
+                gwas_map["SNP"] if isinstance(gwas_map, dict) else gwas_map[:, 0]
+            ).astype(str)
+            Xg = gwas_geno.values if hasattr(gwas_geno, "values") else np.asarray(gwas_geno)
+            shared = np.isin(gw_ids, ref_ids)
+            if shared.sum() == 0:
+                raise ValueError("No shared SNPs between 'geno' and 'gwas.geno'.")
+            gwas_X = Xg[:, shared]
+            ref_pos = {s: i for i, s in enumerate(ref_ids)}
+            gwas_pos = np.array([ref_pos[s] for s in gw_ids[shared]])
         return build_tiled_ld(
             X, chisq=chisq, chrom=chrom_arg, tile=tile, stripe=stripe,
             dtype=np.float32 if dtype == jnp.float32 else np.float64,
-            progress=progress,
+            progress=progress, gwas_geno=gwas_X, gwas_pos=gwas_pos,
         )
     if map is None:
         ldchr = True

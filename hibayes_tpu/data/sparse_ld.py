@@ -216,6 +216,8 @@ def build_tiled_ld(
     stripe: int = 4096,
     dtype=np.float32,
     progress: bool = False,
+    gwas_geno=None,
+    gwas_pos=None,
 ) -> TiledSparseLD:
     """Stream genotype column stripes through the MXU Gram and keep only LD
     tiles with surviving entries — never materialising the m x m matrix.
@@ -225,6 +227,11 @@ def build_tiled_ld(
     are dropped (the reference's per-chromosome block layout, tXXmat_Chr,
     src/tXXmat.cpp:504-605 — here chromosome boundaries need not be
     tile-aligned).  chisq=None with chrom -> pure block-diagonal-by-chromosome.
+
+    gwas_geno/gwas_pos overlay the GWAS sample's own LD for the SNPs present
+    in both panels (reference tXXmat_Geno_gwas, src/tXXmat.cpp:314-502):
+    gwas_pos maps the overlay panel's columns to reference-panel positions;
+    patched entries obey the same chisq rule with the OVERLAY panel's n.
 
     Peak memory: one (stripe x stripe) float64 block + the O(nnz) tile store.
     """
@@ -249,6 +256,22 @@ def build_tiled_ld(
         blk = np.asarray(X[:, c0:c1], np.float64)
         var[c0:c1] = blk.var(axis=0)
     sd = np.sqrt(np.maximum(var, 1e-30))
+
+    # overlay panel: map reference position -> overlay column
+    ov_idx = None
+    if gwas_geno is not None:
+        if gwas_pos is None:
+            raise ValueError("gwas_pos (reference positions of the overlay "
+                             "panel's SNPs) is required with gwas_geno")
+        Xg = gwas_geno.values if hasattr(gwas_geno, "values") else np.asarray(gwas_geno)
+        gwas_pos = np.asarray(gwas_pos, dtype=np.int64)
+        if gwas_pos.shape[0] != Xg.shape[1]:
+            raise ValueError("gwas_pos must have one entry per overlay SNP")
+        ng = Xg.shape[0]
+        ov_idx = np.full(m, -1, dtype=np.int64)
+        ov_idx[gwas_pos] = np.arange(len(gwas_pos))
+        g_var = np.asarray(Xg, np.float64).var(axis=0)
+        g_sd = np.sqrt(np.maximum(g_var, 1e-30))
 
     row_tiles = [dict() for _ in range(nbr)]
     nnz_col = np.zeros(m, dtype=np.int64)
@@ -301,6 +324,30 @@ def build_tiled_ld(
             Xj = Xi if b == a else np.ascontiguousarray(X[:, j0:j1])
             G = _cross_cov(Xi, Xj)
             keep = keep_mask(G, i0, i1, j0, j1)
+            if ov_idx is not None:
+                # REPLACE entries where both SNPs are in the overlay panel
+                # with the panel's own covariance under the same keep rule
+                # (reference tXXmat_Geno_gwas, src/tXXmat.cpp:388-416)
+                mi_loc = np.flatnonzero(ov_idx[i0:i1] >= 0)
+                mj_loc = np.flatnonzero(ov_idx[j0:j1] >= 0)
+                if mi_loc.size and mj_loc.size:
+                    ci = ov_idx[i0:i1][mi_loc]
+                    cj = ov_idx[j0:j1][mj_loc]
+                    Gg = _cross_cov(
+                        np.ascontiguousarray(Xg[:, ci]),
+                        np.ascontiguousarray(Xg[:, cj]),
+                    )
+                    if chisq is None:
+                        keep_g = np.ones_like(Gg, dtype=bool)
+                    else:
+                        r2n_g = (Gg / np.outer(g_sd[ci], g_sd[cj])) ** 2 * ng
+                        keep_g = r2n_g > chisq
+                    if chrom_id is not None:
+                        keep_g &= (chrom_id[i0 + mi_loc][:, None]
+                                   == chrom_id[j0 + mj_loc][None, :])
+                    keep_g |= (i0 + mi_loc)[:, None] == (j0 + mj_loc)[None, :]
+                    G[np.ix_(mi_loc, mj_loc)] = Gg
+                    keep[np.ix_(mi_loc, mj_loc)] = keep_g
             Gm = np.where(keep, G, 0.0)
             nnz_col[j0:j1] += keep.sum(axis=0)
             if b != a:

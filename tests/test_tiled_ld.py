@@ -160,3 +160,46 @@ def test_ldmat_tiled_entry_point():
     assert isinstance(out, TiledSparseLD)
     dense = ldmat(X, chisq=CHISQ)
     np.testing.assert_allclose(out.to_dense(), dense.values, atol=1e-5)
+
+
+def test_tiled_gwas_overlay_matches_dense():
+    """Overlay entries (both SNPs in the gwas panel) must carry the panel's
+    own covariance under the panel-n chisq rule; non-overlay entries keep
+    the reference panel's values (tXXmat_Geno_gwas, tXXmat.cpp:314-502)."""
+    rng = np.random.default_rng(9)
+    X = _banded_geno(n=300, m=64, seed=6)
+    Xg = _banded_geno(n=120, m=64, seed=7)[:, ::2]  # every other SNP shared
+    map_ = {"SNP": np.array([f"s{i}" for i in range(64)]),
+            "Chr": np.ones(64).astype(str), "Pos": np.arange(1, 65)}
+    gmap = {"SNP": np.array([f"s{i}" for i in range(0, 64, 2)]),
+            "Chr": np.ones(32).astype(str), "Pos": np.arange(1, 33)}
+
+    # dense reference for the same rule: overlay then per-entry chisq with
+    # the appropriate panel's n
+    tiled = ldmat(X, map=map_, gwas_geno=Xg, gwas_map=gmap, ldchr=True,
+                  chisq=CHISQ, tiled=True, tile=16, stripe=32)
+    D = tiled.to_dense()
+
+    def cov(A):
+        Ac = A.astype(np.float64) - A.mean(axis=0)
+        return Ac.T @ Ac / A.shape[0]
+
+    G_ref = cov(X)
+    G_ov = cov(Xg)
+    pos = np.arange(0, 64, 2)
+    expect = G_ref.copy()
+    expect[np.ix_(pos, pos)] = G_ov
+    sd_r = np.sqrt(np.diag(G_ref))
+    keep = ((G_ref / np.outer(sd_r, sd_r)) ** 2 * 300) > CHISQ
+    sd_g = np.sqrt(np.diag(G_ov))
+    keep_ov = ((G_ov / np.outer(sd_g, sd_g)) ** 2 * 120) > CHISQ
+    keep[np.ix_(pos, pos)] = keep_ov
+    np.fill_diagonal(keep, True)
+    expect = np.where(keep, expect, 0.0)
+    np.testing.assert_allclose(D, expect, atol=1e-5)
+
+
+def test_tiled_overlay_requires_positions():
+    X = _banded_geno(n=100, m=32)
+    with pytest.raises(ValueError):
+        build_tiled_ld(X, chisq=5.0, tile=16, gwas_geno=X[:50])
