@@ -1389,12 +1389,20 @@ def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, stat
 
 
 def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
-                   verbose, mesh=None):
+                   verbose, mesh=None, burn_fn=None, record_fn=None):
     """Chunked execution with checkpointing + reference-style progress rows
-    (iter / NnzSnp / pi / Vg / Ve / h2 / time left — src/Bayes.cpp:884-914)."""
+    (iter / NnzSnp / pi / Vg / Ve / h2 / time left — src/Bayes.cpp:884-914).
+    Engine-agnostic: the summary engine reuses it by passing its own
+    burn/record segment functions (state only needs .it/.track/.pi/.vara/
+    .vare leaves for the progress row)."""
     import time as _time
 
     from .checkpoint import load_checkpoint, save_checkpoint
+
+    if burn_fn is None:
+        burn_fn = lambda sp, k, d, key, st: _run_burn_segment(sp, k, d, key, st, mesh)
+    if record_fn is None:
+        record_fn = lambda sp, k, d, key, st: _run_record_segment(sp, k, d, key, st, mesh)
 
     state = state0
     samples_parts = []
@@ -1426,7 +1434,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
     while int(state.it) < spec.nburn:
         k = min(burn_chunk, spec.nburn - int(state.it))
         state = jax.block_until_ready(
-            _run_burn_segment(spec, k, data, base_key, state, mesh)
+            burn_fn(spec, k, data, base_key, state)
         )
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
@@ -1435,7 +1443,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
     # record phase in chunks
     while n_done_records < spec.n_records:
         k = min(chunk_records, spec.n_records - n_done_records)
-        state, chunk = _run_record_segment(spec, k, data, base_key, state, mesh)
+        state, chunk = record_fn(spec, k, data, base_key, state)
         state, chunk = jax.block_until_ready((state, chunk))
         samples_parts.append({kk: np.asarray(v) for kk, v in chunk.items()})
         n_done_records += k

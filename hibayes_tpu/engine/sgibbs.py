@@ -717,10 +717,43 @@ def _run_all_s(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainState):
     return state, samples
 
 
-def run_s_chain(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init, seed=666666):
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_s_burn_segment(spec: GibbsSpec, k: int, data: SGibbsData, base_key, state):
+    step = lambda s: one_s_iteration(spec, data, base_key, s)
+    return jax.lax.fori_loop(0, k, lambda i, s: step(s), state)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_s_record_segment(spec: GibbsSpec, k: int, data: SGibbsData, base_key, state):
+    step = lambda s: one_s_iteration(spec, data, base_key, s)
+
+    def record_body(state, _):
+        state = jax.lax.fori_loop(0, spec.thin, lambda i, s: step(s), state)
+        return state, _s_snapshot(spec, state)
+
+    return jax.lax.scan(record_body, state, None, length=k)
+
+
+def run_s_chain(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
+                seed=666666, checkpoint_path=None, chunk_records=0,
+                progress=False):
+    """Single summary chain; with `checkpoint_path`/`progress` the execution
+    is chunked through the shared segmented runner (bit-identical resume —
+    all randomness keys off state.it, engine/checkpoint.py)."""
     base_key = jax.random.PRNGKey(seed)
     state0 = init_s_state(spec, data, priors, pi_init)
-    state, samples = _run_all_s(spec, data, base_key, state0)
+    if checkpoint_path is not None or progress:
+        from .gibbs import _run_segmented
+
+        if chunk_records <= 0:
+            chunk_records = max(spec.n_records // 10, 1)
+        state, samples = _run_segmented(
+            spec, data, base_key, state0, checkpoint_path, chunk_records,
+            progress, burn_fn=_run_s_burn_segment,
+            record_fn=_run_s_record_segment,
+        )
+    else:
+        state, samples = _run_all_s(spec, data, base_key, state0)
     state, samples = jax.block_until_ready((state, samples))
 
     nzct = spec.n_records * spec.thin

@@ -71,6 +71,8 @@ def sbrm(
     block=64,
     dtype=jnp.float32,
     nchains=1,
+    checkpoint=None,
+    progress=False,
 ) -> BlrMod:
     if method not in S_METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {S_METHODS}")
@@ -135,7 +137,10 @@ def sbrm(
             for k, v in samples.items()
         }
     else:
-        state, samples, extras = SG.run_s_chain(spec, data, pr, Pi, seed=seed)
+        state, samples, extras = SG.run_s_chain(
+            spec, data, pr, Pi, seed=seed, checkpoint_path=checkpoint,
+            progress=progress,
+        )
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s "

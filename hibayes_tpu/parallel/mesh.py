@@ -9,8 +9,11 @@ axes over a mesh:
   n, so XLA turns the per-block reduction into a psum over ICI while the
   O(B) inner scan runs replicated.  Sharding this axis keeps the chain
   *mathematically exact* — the same Markov kernel, just distributed.
-* ``snp`` — markers (m).  Used for LD construction (column-block tiles),
-  GEBV/posterior matmuls, and HBM capacity for the block Gram matrices.
+* ``snp`` — markers (m).  Genuine model parallelism: X/W SNP-block shards
+  live only on their owning device's HBM and the sweep runs shards in turn
+  with psum-merged residual corrections (engine/gibbs._sweep_snp_sharded) —
+  the same Markov kernel, no full-genotype gather; also shards LD tiles and
+  the GEBV/posterior matmuls.
 
 Multi-host: `jax.distributed.initialize()` + the same named shardings; ICI
 carries the n-axis psums within a slice, DCN only broadcasts scalar state.
