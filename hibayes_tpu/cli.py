@@ -106,6 +106,10 @@ def main(argv=None):
     p_s.add_argument("--bfile", required=True, help="LD reference panel")
     p_s.add_argument("--chisq", type=float, default=None)
     p_s.add_argument("--by-chr", action="store_true")
+    p_s.add_argument("--tiled", action="store_true",
+                     help="O(nnz) tiled-sparse LD (large m)")
+    p_s.add_argument("--tile", type=int, default=128)
+    p_s.add_argument("--stripe", type=int, default=4096)
     _common_mcmc_args(p_s)
 
     p_ss = sub.add_parser("ssbrm", help="single-step Bayesian regression")
@@ -114,6 +118,8 @@ def main(argv=None):
     p_ss.add_argument("--formula", required=True)
     p_ss.add_argument("--ped", required=True)
     p_ss.add_argument("--maf", type=float, default=0.01)
+    p_ss.add_argument("--impute", default="auto", choices=("auto", "direct", "pcg"),
+                      help="imputation operator: pcg = matrix-free scale path")
     _common_mcmc_args(p_ss)
 
     p_l = sub.add_parser("ldmat", help="LD matrix construction")
@@ -121,14 +127,24 @@ def main(argv=None):
     p_l.add_argument("--out", required=True)
     p_l.add_argument("--chisq", type=float, default=None)
     p_l.add_argument("--by-chr", action="store_true")
+    p_l.add_argument("--tiled", action="store_true",
+                     help="stream stripes into an O(nnz) tile store")
+    p_l.add_argument("--tile", type=int, default=128)
+    p_l.add_argument("--stripe", type=int, default=4096)
+    p_l.add_argument("--quiet", action="store_true")
 
     a = ap.parse_args(argv)
 
     if a.cmd == "ldmat":
         binr = ht.read_plink(a.bfile)
         ld = ht.ldmat(binr["geno"], map=binr["map"], chisq=a.chisq,
-                      ldchr=not a.by_chr)
-        if hasattr(ld, "blocks"):
+                      ldchr=not a.by_chr, tiled=a.tiled, tile=a.tile,
+                      stripe=a.stripe, progress=a.tiled and not a.quiet)
+        if a.tiled:
+            np.savez(a.out, kind="tiled", tile=ld.tile, m=ld.m,
+                     col_idx=ld.col_idx, valid=ld.valid, tiles=ld.tiles,
+                     nnz_col=ld.nnz_col)
+        elif hasattr(ld, "blocks"):
             np.savez(a.out, kind="blockdiag",
                      **{f"block_{i}": b for i, b in enumerate(ld.blocks)})
         else:
@@ -151,15 +167,16 @@ def main(argv=None):
     elif a.cmd == "sbrm":
         ma = ht.read_sumstat(a.sumstat)
         ld = ht.ldmat(binr["geno"], map=binr["map"], chisq=a.chisq,
-                      ldchr=not a.by_chr)
-        fit = ht.sbrm(ma, ld, **common)
+                      ldchr=not a.by_chr, tiled=a.tiled, tile=a.tile,
+                      stripe=a.stripe)
+        fit = ht.sbrm(ma, ld, checkpoint=a.checkpoint, **common)
     else:  # ssbrm
         pheno = read_pheno(a.pheno)
         pid, ps, pd_ = read_pedigree(a.ped)
         fit = ht.ssbrm(a.formula, data=pheno, M=binr["geno"].values,
                        M_id=binr["fam"][1],
                        pedigree={"id": pid, "sire": ps, "dam": pd_},
-                       maf=a.maf, **common)
+                       maf=a.maf, impute=a.impute, **common)
 
     _save_fit(fit, a.out_prefix, map_=binr["map"] if a.cmd != "sbrm" else binr["map"])
     if a.plots:

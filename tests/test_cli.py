@@ -80,3 +80,35 @@ def test_cli_ssbrm(tmp_path):
         line.split("\t") for line in open(out + ".var.tsv").read().splitlines()[1:]
     )
     assert float(var["Vg"]) > 0
+
+
+def test_cli_sbrm_tiled(tmp_path):
+    out = str(tmp_path / "tfit")
+    rc = main(["sbrm", "--sumstat", DEMO + ".ma", "--bfile", DEMO,
+               "--chisq", "5", "--tiled", "--tile", "64", "--stripe", "256",
+               "--niter", "200", "--nburn", "100",
+               "--quiet", "--out-prefix", out])
+    assert rc == 0
+    assert len(open(out + ".alpha.tsv").read().splitlines()) == 1001
+
+
+def test_cli_ldmat_tiled(tmp_path):
+    import numpy as np
+
+    out = str(tmp_path / "ld_tiled.npz")
+    rc = main(["ldmat", "--bfile", DEMO, "--out", out, "--chisq", "5",
+               "--tiled", "--tile", "64", "--stripe", "256", "--quiet"])
+    assert rc == 0
+    z = np.load(out)
+    assert str(z["kind"]) == "tiled" and int(z["m"]) == 1000
+    assert z["tiles"].shape[2] == 64
+
+
+def test_cli_ssbrm_pcg(tmp_path):
+    out = str(tmp_path / "sspcg")
+    rc = main(["ssbrm", "--bfile", DEMO, "--pheno", DEMO + ".phe",
+               "--formula", "T1~1", "--ped", DEMO + ".ped",
+               "--impute", "pcg", "--niter", "200", "--nburn", "100",
+               "--quiet", "--out-prefix", out])
+    assert rc == 0
+    assert len(open(out + ".gebv.tsv").read().splitlines()) > 1000
