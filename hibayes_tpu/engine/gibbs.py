@@ -181,6 +181,22 @@ class ChainState(NamedTuple):
     veps: jnp.ndarray
 
 
+class EpslSparse(NamedTuple):
+    """Sparse A-inverse(nn) for the single-step epsilon Gibbs: dense (T, T)
+    diagonal blocks feed the in-block site scan; the residual scatter walks
+    padded per-block COO triplets of A[:, block] (col indices in-block);
+    the full COO triple serves the matvec (quadratic form / residual init).
+    All O(nnz) — robust to arbitrary pedigree graph structure."""
+
+    diag_blocks: jnp.ndarray   # (nbr, T, T)
+    blk_rows: jnp.ndarray      # (nbr, P) int32 global row of each entry
+    blk_cols: jnp.ndarray      # (nbr, P) int32 in-block column (0..T-1)
+    blk_vals: jnp.ndarray      # (nbr, P) (0 padding)
+    coo_rows: jnp.ndarray      # (nnz,) int32
+    coo_cols: jnp.ndarray      # (nnz,) int32
+    coo_vals: jnp.ndarray      # (nnz,)
+
+
 class GibbsData(NamedTuple):
     """Device-resident inputs. X_blocks is the genotype in block layout."""
 
@@ -204,11 +220,12 @@ class GibbsData(NamedTuple):
     epsl_LHS_A: jnp.ndarray    # (qe, qe) dense A-inverse(nn) block
     epsl_codes: jnp.ndarray    # (ne,) int32 -> level of each imputed individual
     epsl_counts: jnp.ndarray   # (qe_pad,)
-    # sparse A-inverse(nn) in BSR tiles (data/sparse_ld layout, RCM-ordered);
-    # replaces the dense epsl_LHS_A at scale — sizes 0 when off
-    epsl_tiles: jnp.ndarray = None    # (nbr, K, T, T)
-    epsl_cols: jnp.ndarray = None     # (nbr, K) int32
-    epsl_valid: jnp.ndarray = None    # (nbr, K) bool
+    # sparse A-inverse(nn) (replaces dense epsl_LHS_A at scale): dense
+    # diagonal blocks for the in-block Gibbs + padded per-block COO triplets
+    # for the residual scatter — O(nnz) regardless of the pedigree graph
+    # (BSR tiles were tried first and blow up ~10^4x on pedigree patterns:
+    # popular sires scatter single entries across hundreds of tiles)
+    epsl_sp: tuple = None      # EpslSparse | None
 
 
 # ---------------------------------------------------------------------------
@@ -482,28 +499,32 @@ def blocked_mme_gibbs(A, diagA, x, b, ve, z, block):
     return x
 
 
-def blocked_mme_gibbs_tiled(tiles, cols, valid, counts, scale, x, b, ve, z):
-    """Single-site Gibbs sweep over LHS = scale*A + diag(counts) with A in
-    BSR tiles (data/sparse_ld layout, diagonal tile first) — the sparse
-    counterpart of :func:`blocked_mme_gibbs` for pedigree-sized epsilon
-    systems (reference: src/solver.cpp:131-140 iterates arma::sp_mat columns).
-    Work and residual updates touch only stored tiles: O(nnz) per sweep.
+def _epsl_matvec(sp: EpslSparse, x, q):
+    return jax.ops.segment_sum(
+        sp.coo_vals.astype(x.dtype) * x[sp.coo_cols], sp.coo_rows,
+        num_segments=q,
+    )
+
+
+def blocked_mme_gibbs_sparse(sp: EpslSparse, counts, scale, x, b, ve, z):
+    """Single-site Gibbs sweep over LHS = scale*A + diag(counts) with sparse
+    A — the counterpart of :func:`blocked_mme_gibbs` for pedigree-sized
+    epsilon systems (reference: src/solver.cpp:131-140 iterates arma::sp_mat
+    columns).  Per block: the dense diagonal block drives the in-block site
+    scan; the residual update scatters this block's O(nnz/block) COO
+    triplets.  Storage and work are O(nnz) for ANY sparsity pattern.
 
     Returns (x_new, A @ x_new) — the matvec feeds the veps quadratic form.
     """
-    from ..data.sparse_ld import _tiled_matvec
-
     q = x.shape[0]
-    nbr, K, T, _ = tiles.shape
+    nbr, T, _ = sp.diag_blocks.shape
     dt = x.dtype
-    tiles = tiles.astype(dt)
-    Ax = _tiled_matvec(tiles, cols, valid, x)
-    res = b - scale * Ax - counts * x
+    res = b - scale * _epsl_matvec(sp, x, q) - counts * x
 
     def block_body(carry, xs):
         x_all, res = carry
-        i, tiles_i, cols_i, valid_i, cnt_b, zb = xs
-        Wb = scale * tiles_i[0] + jnp.diag(cnt_b)
+        i, Wd, rows_i, cols_i, vals_i, cnt_b, zb = xs
+        Wb = scale * Wd.astype(dt) + jnp.diag(cnt_b)
         db = jnp.diagonal(Wb)
         r_local = jax.lax.dynamic_slice(res, (i * T,), (T,))
         xb = jax.lax.dynamic_slice(x_all, (i * T,), (T,))
@@ -521,18 +542,10 @@ def blocked_mme_gibbs_tiled(tiles, cols, valid, counts, scale, x, b, ve, z):
         (_,), (xnew_b, dx_b) = jax.lax.scan(
             site, (r_local,), (jnp.arange(T), Wb.T, xb, db, zb)
         )
-
-        def tile_upd(res_acc, k):
-            j = cols_i[k]
-            upd = jnp.where(
-                valid_i[k],
-                scale * jnp.matmul(tiles_i[k].T, dx_b, precision=HIGHEST),
-                jnp.zeros((T,), dt),
-            )
-            seg = jax.lax.dynamic_slice(res_acc, (j * T,), (T,)) - upd
-            return jax.lax.dynamic_update_slice(res_acc, seg, (j * T,)), None
-
-        res, _ = jax.lax.scan(tile_upd, res, jnp.arange(K))
+        # res -= scale * A[:, block] @ dx: scatter this block's triplets
+        # (padding triplets carry val 0 -> harmless adds at row 0)
+        res = res.at[rows_i].add(-scale * vals_i.astype(dt) * dx_b[cols_i])
+        # + the diag(counts) part of LHS[:, block] (own rows only)
         seg = jax.lax.dynamic_slice(res, (i * T,), (T,)) - cnt_b * dx_b
         res = jax.lax.dynamic_update_slice(res, seg, (i * T,))
         x_all = jax.lax.dynamic_update_slice(x_all, xnew_b, (i * T,))
@@ -540,10 +553,10 @@ def blocked_mme_gibbs_tiled(tiles, cols, valid, counts, scale, x, b, ve, z):
 
     (x, res), _ = jax.lax.scan(
         block_body, (x, res),
-        (jnp.arange(nbr), tiles, cols, valid,
-         counts.reshape(nbr, T), z.reshape(nbr, T)),
+        (jnp.arange(nbr), sp.diag_blocks, sp.blk_rows, sp.blk_cols,
+         sp.blk_vals, counts.reshape(nbr, T), z.reshape(nbr, T)),
     )
-    return x, _tiled_matvec(tiles, cols, valid, x)
+    return x, _epsl_matvec(sp, x, q)
 
 
 # ---------------------------------------------------------------------------
@@ -706,13 +719,12 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
         )
         scale = ve / vepstmp
         ze = jax.random.normal(kz, (qe_p,), dtype=dt)
-        if data.epsl_tiles is not None:
-            # sparse (RCM-ordered, BSR-tiled) A-inverse: O(nnz) per sweep,
-            # no (qe, qe) dense matrix ever exists on device
+        if data.epsl_sp is not None:
+            # sparse A-inverse: O(nnz) per sweep, no (qe, qe) dense matrix
+            # ever exists on device
             ze = jnp.where(jnp.arange(qe_p) < qe, ze, 0.0)  # freeze pad sites
-            new_e, Ae = blocked_mme_gibbs_tiled(
-                data.epsl_tiles, data.epsl_cols, data.epsl_valid,
-                data.epsl_counts, scale, epsl_estR, rhs_e, ve, ze,
+            new_e, Ae = blocked_mme_gibbs_sparse(
+                data.epsl_sp, data.epsl_counts, scale, epsl_estR, rhs_e, ve, ze,
             )
             quad = jnp.dot(new_e, Ae, precision=HIGHEST)
         else:
@@ -1146,32 +1158,21 @@ def prepare_gibbs_data(
     m_pad = pad_to_block(m, block)
     nblocks = m_pad // block
 
-    # epsilon-term A-inverse(nn): dense array (small qe), scipy sparse, or a
-    # prebuilt TiledSparseLD — sparse inputs pack into BSR tiles so the
+    # epsilon-term A-inverse(nn): dense array (small qe) or scipy sparse —
+    # sparse inputs pack into EpslSparse (diag blocks + per-block COO) so the
     # in-chain Gibbs never materialises the (qe, qe) dense matrix
-    epsl_tiles_obj = None
+    epsl_sp_obj = None
     qe_pad = qe
     if epsl_A is not None and qe:
-        from ..data.sparse_ld import TiledSparseLD
+        try:
+            import scipy.sparse as _sp
 
-        if isinstance(epsl_A, TiledSparseLD):
-            epsl_tiles_obj = epsl_A
-        else:
-            try:
-                import scipy.sparse as _sp
-
-                if _sp.issparse(epsl_A):
-                    etile = int(min(block, 128))
-                    epsl_tiles_obj = TiledSparseLD.from_scipy(
-                        epsl_A, tile=etile,
-                        dtype=np.float32 if dtype == jnp.float32 else np.float64,
-                    )
-            except ImportError:
-                epsl_A = np.asarray(
-                    epsl_A.todense() if hasattr(epsl_A, "todense") else epsl_A
-                )
-        if epsl_tiles_obj is not None:
-            qe_pad = epsl_tiles_obj.m_pad
+            is_sparse = _sp.issparse(epsl_A)
+        except ImportError:
+            is_sparse = False
+        if is_sparse:
+            etile = int(min(block, 128))
+            epsl_sp_obj, qe_pad = _build_epsl_sparse(epsl_A, etile, dtype)
 
     if use_int8:
         if not np.issubdtype(M_np.dtype, np.integer):
@@ -1265,7 +1266,7 @@ def prepare_gibbs_data(
         epsl_yJ=jnp.asarray(epsl_yJ, dtype) if epsl_yJ is not None else zero,
         epsl_LHS_A=(
             jnp.asarray(epsl_A, dtype)
-            if epsl_A is not None and epsl_tiles_obj is None
+            if epsl_A is not None and epsl_sp_obj is None
             else jnp.zeros((0, 0), dtype)
         ),
         epsl_codes=jnp.asarray(epsl_codes, jnp.int32) if epsl_codes is not None else jnp.zeros((0,), jnp.int32),
@@ -1277,13 +1278,50 @@ def prepare_gibbs_data(
             if qe
             else zero
         ),
-        epsl_tiles=(jnp.asarray(epsl_tiles_obj.tiles, dtype)
-                    if epsl_tiles_obj is not None else None),
-        epsl_cols=(jnp.asarray(epsl_tiles_obj.col_idx, jnp.int32)
-                   if epsl_tiles_obj is not None else None),
-        epsl_valid=(jnp.asarray(epsl_tiles_obj.valid)
-                    if epsl_tiles_obj is not None else None),
+        epsl_sp=epsl_sp_obj,
     )
+
+
+def _build_epsl_sparse(A, tile: int, dtype) -> tuple:
+    """Pack a scipy sparse symmetric A into EpslSparse: zero-padded (qe_pad)
+    dense diagonal blocks + per-block COO triplets of A[:, block] (padded to
+    the max per-block count), + the global COO for matvecs."""
+    import scipy.sparse as sp_
+
+    A = sp_.csc_matrix(A)
+    q = A.shape[0]
+    nbr = -(-q // tile)
+    qe_pad = nbr * tile
+    diag_blocks = np.zeros((nbr, tile, tile), dtype=np.float64)
+    blk_r, blk_c, blk_v = [], [], []
+    for i in range(nbr):
+        c0, c1 = i * tile, min(q, (i + 1) * tile)
+        blk = A[:, c0:c1].tocoo()
+        blk_r.append(blk.row.astype(np.int32))
+        blk_c.append(blk.col.astype(np.int32))
+        blk_v.append(blk.data)
+        d = A[c0:c1, c0:c1].toarray()
+        diag_blocks[i, : d.shape[0], : d.shape[1]] = d
+    P = max(max((len(r) for r in blk_r), default=1), 1)
+    rows = np.zeros((nbr, P), dtype=np.int32)
+    cols = np.zeros((nbr, P), dtype=np.int32)
+    vals = np.zeros((nbr, P), dtype=np.float64)
+    for i in range(nbr):
+        k = len(blk_r[i])
+        rows[i, :k] = blk_r[i]
+        cols[i, :k] = blk_c[i]
+        vals[i, :k] = blk_v[i]
+    coo = A.tocoo()
+    sp_obj = EpslSparse(
+        diag_blocks=jnp.asarray(diag_blocks, dtype),
+        blk_rows=jnp.asarray(rows),
+        blk_cols=jnp.asarray(cols),
+        blk_vals=jnp.asarray(vals, dtype),
+        coo_rows=jnp.asarray(coo.row.astype(np.int32)),
+        coo_cols=jnp.asarray(coo.col.astype(np.int32)),
+        coo_vals=jnp.asarray(coo.data, dtype),
+    )
+    return sp_obj, qe_pad
 
 
 def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> ChainState:

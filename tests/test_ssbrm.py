@@ -266,14 +266,16 @@ def test_imputation_operator_matches_dense_solve():
     )
 
 
-def test_blocked_mme_gibbs_tiled_matches_dense():
+def test_blocked_mme_gibbs_sparse_matches_dense():
     import jax.numpy as jnp
-
     import scipy.sparse as sp
 
     from hibayes_tpu.data.pedigree import make_ainv, make_ped, rcm_permutation
-    from hibayes_tpu.data.sparse_ld import TiledSparseLD
-    from hibayes_tpu.engine.gibbs import blocked_mme_gibbs, blocked_mme_gibbs_tiled
+    from hibayes_tpu.engine.gibbs import (
+        _build_epsl_sparse,
+        blocked_mme_gibbs,
+        blocked_mme_gibbs_sparse,
+    )
 
     rng = np.random.default_rng(5)
     ids, sires, dams = _random_pedigree(40, 300, seed=2)
@@ -283,8 +285,7 @@ def test_blocked_mme_gibbs_tiled_matches_dense():
     A = Ai[perm][:, perm]
     q = A.shape[0]
     T = 16
-    qe_pad = -(-q // T) * T
-    tl = TiledSparseLD.from_scipy(A, tile=T)
+    sp_obj, qe_pad = _build_epsl_sparse(A, T, jnp.float64)
     counts = np.zeros(qe_pad)
     counts[:q] = rng.integers(0, 3, q).astype(float)
     b = np.zeros(qe_pad)
@@ -295,9 +296,8 @@ def test_blocked_mme_gibbs_tiled_matches_dense():
     A_pad = np.zeros((qe_pad, qe_pad))
     A_pad[:q, :q] = A.toarray()
     LHS = A_pad * scale + np.diag(counts)
-    xt, Ae = blocked_mme_gibbs_tiled(
-        jnp.asarray(tl.tiles), jnp.asarray(tl.col_idx), jnp.asarray(tl.valid),
-        jnp.asarray(counts), jnp.asarray(scale), jnp.zeros(qe_pad),
+    xt, Ae = blocked_mme_gibbs_sparse(
+        sp_obj, jnp.asarray(counts), jnp.asarray(scale), jnp.zeros(qe_pad),
         jnp.asarray(b), jnp.asarray(ve), jnp.asarray(z),
     )
     xd = blocked_mme_gibbs(
@@ -307,6 +307,9 @@ def test_blocked_mme_gibbs_tiled_matches_dense():
     np.testing.assert_allclose(np.asarray(xt)[:q], np.asarray(xd)[:q], atol=1e-9)
     np.testing.assert_allclose(np.asarray(Ae), A_pad @ np.asarray(xt), atol=1e-9)
     assert (np.asarray(xt)[q:] == 0).all()  # pad sites frozen
+    # O(nnz) storage: the padded triplet store stays within ~3x of nnz
+    stored = sp_obj.blk_vals.size
+    assert stored < 4 * A.nnz + sp_obj.diag_blocks.shape[0] * T
 
 
 def test_ssbrm_pcg_path_statistically_matches_direct(demo):
