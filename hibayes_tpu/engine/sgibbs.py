@@ -188,7 +188,8 @@ def prepare_sgibbs_data(
     return data, n_eff, vary, nvar0, tuple(seg_sizes), tuple(seg_real)
 
 
-def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainState):
+def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key,
+                    state: SChainState, mesh=None):
     dt = data.xy.dtype
     B = spec.block
     m_pad = spec.m_pad
@@ -240,6 +241,19 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
         from ..ops import blockgibbs
 
         nbr, k_max = data.ld_tiles.shape[0], data.ld_tiles.shape[1]
+        snp_s = int(mesh.shape.get("snp", 1)) if mesh is not None else 1
+        if snp_s > 1 and nbr % snp_s == 0:
+            r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc = (
+                _tiled_sweep_snp_sharded(
+                    spec, consts, data, vei, g, vargL_full,
+                    z_snp, u_snp, chi_snp, z2_snp, r_hat, mesh,
+                )
+            )
+            return _s_finish(
+                spec, data, key, state, g_new, track,
+                vargL_new if state.vargL.size else state.vargL,
+                r_hat, vargi_acc, vargR_acc,
+            )
         if spec.use_pallas and blockgibbs.supports_s_tiled(spec, nbr, k_max, dt):
             import jax as _jax
 
@@ -380,26 +394,22 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainSt
     )
 
 
-def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
-                 z_snp, u_snp, chi_snp, z2_snp, r_hat):
-    """Blocked Gibbs sweep over a tiled-sparse LD (data/sparse_ld.py):
-    block row i draws against its diagonal tile W_b = n*LD[block,block], then
-    the rank-1 r_hat update touches ONLY stored tiles,
-    r_hat[rows of tile (i,j)] += n * tile(i,j)^T @ dg  — O(nnz) work and
-    bytes per sweep, the reference's CSC column-iterator semantics
-    (src/SBayesS.cpp:292-296) in an MXU-shaped layout."""
-    dt = data.xy.dtype
+def _tiled_sweep_rows(spec: GibbsSpec, consts, dt, tiles, cols, valid,
+                      pv_rows, row_ids, r_hat):
+    """Blocked Gibbs over an arbitrary set of LD block rows (global indices
+    ``row_ids``) against the FULL r_hat: block row i draws against its
+    diagonal tile W_b = n*LD[block,block], then the rank-1 r_hat update
+    touches ONLY stored tiles, r_hat[rows of tile (i,j)] += n*tile^T @ dg —
+    O(nnz) work, the reference's CSC column-iterator semantics
+    (src/SBayesS.cpp:292-296) in an MXU-shaped layout.  The row subset makes
+    this the shard-local body of the SNP-sharded summary sweep."""
     B = spec.block
-    m_pad = spec.m_pad
     n = spec.n
-    nbr = m_pad // B
-    tiles, cols, valid = data.ld_tiles, data.ld_cols, data.ld_valid
     k_max = tiles.shape[1]
-    rs = lambda x: x.reshape(nbr, B)
 
     def block_body(carry, xs):
         r_hat, vargi_acc, vargR_acc = carry
-        (i, xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb, gidx_b,
+        (i, (xpx_b, vx_b, vei_b, g_old_b, zb, ub, chib, z2b, vargLb, gidx_b),
          tiles_i, cols_i, valid_i) = xs
         Wb = n * tiles_i[0]  # diagonal tile is stored first
         r0 = jax.lax.dynamic_slice(r_hat, (i * B,), (B,))
@@ -427,12 +437,95 @@ def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
     (r_hat, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
         block_body,
         (r_hat, jnp.zeros((), dt), jnp.zeros((), dt)),
-        (jnp.arange(nbr), rs(data.xpx), rs(data.vx), rs(vei), rs(g),
-         rs(z_snp), rs(u_snp), rs(chi_snp), rs(z2_snp), rs(vargL_full),
-         rs(jnp.arange(m_pad)), tiles, cols, valid),
+        (row_ids, pv_rows, tiles, cols, valid),
+    )
+    return r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc
+
+
+def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
+                 z_snp, u_snp, chi_snp, z2_snp, r_hat):
+    """Single-device tiled sweep: all block rows in order."""
+    dt = data.xy.dtype
+    B = spec.block
+    m_pad = spec.m_pad
+    nbr = m_pad // B
+    rs = lambda x: x.reshape(nbr, B)
+    pv_rows = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp),
+               rs(u_snp), rs(chi_snp), rs(z2_snp), rs(vargL_full),
+               rs(jnp.arange(m_pad)))
+    r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc = _tiled_sweep_rows(
+        spec, consts, dt, data.ld_tiles, data.ld_cols, data.ld_valid,
+        pv_rows, jnp.arange(nbr), r_hat,
     )
     return (r_hat, g_new.reshape(-1), track.reshape(-1),
             vargL_new.reshape(-1), vargi_acc, vargR_acc)
+
+
+def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
+                             g, vargL_full, z_snp, u_snp, chi_snp, z2_snp,
+                             r_hat, mesh):
+    """SNP-sharded tiled summary sweep: each device's HBM holds only its own
+    LD tile rows; shards sweep in global block order (turn loop; inactive
+    shards skip via lax.cond) and the r_hat deltas merge with one psum over
+    the `snp` axis per turn — the same Markov kernel as the single-device
+    sweep, scaling m beyond one chip's HBM (25 GB of tiles at m=5M spans an
+    8-chip slice)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    dt = data.xy.dtype
+    B = spec.block
+    m_pad = spec.m_pad
+    nbr = m_pad // B
+    S = int(mesh.shape["snp"])
+    nb_loc = nbr // S
+    rs = lambda x: x.reshape(nbr, B)
+    pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
+          rs(chi_snp), rs(z2_snp), rs(vargL_full), rs(jnp.arange(m_pad)))
+
+    def body(tiles, cols, valid, pvt, r_hat, consts):
+        sidx = jax.lax.axis_index("snp")
+        row_ids = sidx * nb_loc + jnp.arange(nb_loc)
+        g_b = pvt[3]
+        vargL_b = pvt[8]
+
+        def local_sweep(rh):
+            return _tiled_sweep_rows(
+                spec, consts, dt, tiles, cols, valid, pvt, row_ids, rh)
+
+        def skip(rh):
+            return (rh, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
+                    jnp.zeros((), dt), jnp.zeros((), dt))
+
+        def turn(carry, s):
+            r_hat, g_cur, tr_cur, vl_cur, vi_t, vR_t = carry
+            act = sidx == s
+            rh2, gn, tr, vl, vi, vR = jax.lax.cond(act, local_sweep, skip, r_hat)
+            r_hat = r_hat + jax.lax.psum(rh2 - r_hat, "snp")
+            g_cur = jnp.where(act, gn, g_cur)
+            tr_cur = jnp.where(act, tr, tr_cur)
+            vl_cur = jnp.where(act, vl, vl_cur)
+            return (r_hat, g_cur, tr_cur, vl_cur, vi_t + vi, vR_t + vR), None
+
+        init = (r_hat, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
+                jnp.zeros((), dt), jnp.zeros((), dt))
+        (r_hat, g_new, track, vargL_new, vi, vR), _ = jax.lax.scan(
+            turn, init, jnp.arange(S))
+        return (g_new, track, vargL_new, r_hat,
+                jax.lax.psum(vi, "snp"), jax.lax.psum(vR, "snp"))
+
+    pv_spec = tuple(PS("snp", None) for _ in pv)
+    consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts)
+    g_new, track, vargL_new, r_hat, vargi, vargR = shard_map(
+        body, mesh=mesh,
+        in_specs=(PS("snp", None, None, None), PS("snp", None),
+                  PS("snp", None), pv_spec, PS(), consts_spec),
+        out_specs=(PS("snp", None), PS("snp", None), PS("snp", None),
+                   PS(), PS(), PS()),
+        check_vma=False,
+    )(data.ld_tiles, data.ld_cols, data.ld_valid, pv, r_hat, consts)
+    return (r_hat, g_new.reshape(-1), track.reshape(-1),
+            vargL_new.reshape(-1), vargi, vargR)
 
 
 def _s_sweep_accums(spec: GibbsSpec, data: SGibbsData, state: SChainState,
@@ -704,9 +797,10 @@ def _s_snapshot(spec, state):
     }
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _run_all_s(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainState):
-    step = lambda s: one_s_iteration(spec, data, base_key, s)
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_all_s(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainState,
+               mesh=None):
+    step = lambda s: one_s_iteration(spec, data, base_key, s, mesh=mesh)
     state = jax.lax.fori_loop(0, spec.nburn, lambda i, s: step(s), state)
 
     def record_body(state, _):
@@ -717,15 +811,25 @@ def _run_all_s(spec: GibbsSpec, data: SGibbsData, base_key, state: SChainState):
     return state, samples
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _run_s_burn_segment(spec: GibbsSpec, k: int, data: SGibbsData, base_key, state):
-    step = lambda s: one_s_iteration(spec, data, base_key, s)
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_s_burn_segment_m(spec: GibbsSpec, k: int, data: SGibbsData, base_key,
+                          state, mesh=None):
+    step = lambda s: one_s_iteration(spec, data, base_key, s, mesh=mesh)
     return jax.lax.fori_loop(0, k, lambda i, s: step(s), state)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _run_s_record_segment(spec: GibbsSpec, k: int, data: SGibbsData, base_key, state):
-    step = lambda s: one_s_iteration(spec, data, base_key, s)
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_s_record_segment_m(spec: GibbsSpec, k: int, data: SGibbsData, base_key,
+                            state, mesh=None):
+    step = lambda s: one_s_iteration(spec, data, base_key, s, mesh=mesh)
 
     def record_body(state, _):
         state = jax.lax.fori_loop(0, spec.thin, lambda i, s: step(s), state)
@@ -734,26 +838,47 @@ def _run_s_record_segment(spec: GibbsSpec, k: int, data: SGibbsData, base_key, s
     return jax.lax.scan(record_body, state, None, length=k)
 
 
+def _run_s_burn_segment(spec, k, data, base_key, state):
+    return _run_s_burn_segment_m(spec, k, data, base_key, state, None)
+
+
+def _run_s_record_segment(spec, k, data, base_key, state):
+    return _run_s_record_segment_m(spec, k, data, base_key, state, None)
+
+
 def run_s_chain(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
                 seed=666666, checkpoint_path=None, chunk_records=0,
-                progress=False):
+                progress=False, mesh=None):
     """Single summary chain; with `checkpoint_path`/`progress` the execution
     is chunked through the shared segmented runner (bit-identical resume —
-    all randomness keys off state.it, engine/checkpoint.py)."""
+    all randomness keys off state.it, engine/checkpoint.py).  With `mesh`
+    (snp axis > 1) the tiled LD shards across devices and the sweep runs the
+    exact turn-based shard schedule."""
     base_key = jax.random.PRNGKey(seed)
     state0 = init_s_state(spec, data, priors, pi_init)
+    if mesh is not None:
+        from ..parallel.mesh import shard_sgibbs_data
+
+        data = shard_sgibbs_data(data, mesh)
     if checkpoint_path is not None or progress:
         from .gibbs import _run_segmented
 
         if chunk_records <= 0:
             chunk_records = max(spec.n_records // 10, 1)
-        state, samples = _run_segmented(
-            spec, data, base_key, state0, checkpoint_path, chunk_records,
-            progress, burn_fn=_run_s_burn_segment,
-            record_fn=_run_s_record_segment,
-        )
+        burn_fn = (lambda sp, k, d, key, st:
+                   _run_s_burn_segment_m(sp, k, d, key, st, mesh))
+        record_fn = (lambda sp, k, d, key, st:
+                     _run_s_record_segment_m(sp, k, d, key, st, mesh))
+        ctx = mesh if mesh is not None else _nullcontext()
+        with ctx:
+            state, samples = _run_segmented(
+                spec, data, base_key, state0, checkpoint_path, chunk_records,
+                progress, burn_fn=burn_fn, record_fn=record_fn,
+            )
     else:
-        state, samples = _run_all_s(spec, data, base_key, state0)
+        ctx = mesh if mesh is not None else _nullcontext()
+        with ctx:
+            state, samples = _run_all_s(spec, data, base_key, state0, mesh)
     state, samples = jax.block_until_ready((state, samples))
 
     nzct = spec.n_records * spec.thin

@@ -73,6 +73,7 @@ def sbrm(
     nchains=1,
     checkpoint=None,
     progress=False,
+    mesh=None,
 ) -> BlrMod:
     if method not in S_METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {S_METHODS}")
@@ -139,7 +140,7 @@ def sbrm(
     else:
         state, samples, extras = SG.run_s_chain(
             spec, data, pr, Pi, seed=seed, checkpoint_path=checkpoint,
-            progress=progress,
+            progress=progress, mesh=mesh,
         )
     elapsed = time.time() - t0
     if verbose:

@@ -88,6 +88,42 @@ def shard_gibbs_data(data: GibbsData, mesh: Mesh) -> GibbsData:
     )
 
 
+def shard_sgibbs_data(data, mesh: Mesh):
+    """Summary-engine placement: LD tiles + per-SNP vectors sharded over the
+    snp axis (each device's HBM holds only its tile rows), scalars and r_hat
+    state replicated.  Non-divisible tile-row counts stay replicated (the
+    sweep then runs single-device semantics)."""
+
+    def put(x, spec):
+        if x is None or (hasattr(x, "size") and x.size == 0):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    snp_size = int(mesh.shape.get("snp", 1))
+    if data.ld_tiles is None or snp_size <= 1:
+        return data
+    nbr = data.ld_tiles.shape[0]
+    if nbr % snp_size != 0:
+        return data
+    def put_rows(x):
+        # per-SNP vector (m_pad,): contiguous split == block-row shards
+        return put(x, P("snp"))
+
+    return data._replace(
+        ld_tiles=put(data.ld_tiles, P("snp", None, None, None)),
+        ld_cols=put(data.ld_cols, P("snp", None)),
+        ld_valid=put(data.ld_valid, P("snp", None)),
+        xy=put_rows(data.xy),
+        xpx=put_rows(data.xpx),
+        vx=put_rows(data.vx),
+        real=put_rows(data.real),
+        varediff=put_rows(data.varediff),
+        windindx0=put_rows(data.windindx0),
+        fold=put(data.fold, P()),
+        yy=put(data.yy, P()),
+    )
+
+
 def shard_state(state: ChainState, mesh: Mesh) -> ChainState:
     """Chain state: yadj/u/k_estR follow the individual axis, rest replicated."""
 

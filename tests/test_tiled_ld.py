@@ -203,3 +203,66 @@ def test_tiled_overlay_requires_positions():
     X = _banded_geno(n=100, m=32)
     with pytest.raises(ValueError):
         build_tiled_ld(X, chisq=5.0, tile=16, gwas_geno=X[:50])
+
+
+def test_sbrm_tiled_snp_sharded_matches_single_device():
+    """SNP-sharded tiled summary sweep (LD tile rows per-device, turn-based
+    exact schedule, psum-merged r_hat deltas) must match the single-device
+    tiled chain to the ind-shard equality standard."""
+    import jax.numpy as jnp
+
+    from hibayes_tpu.parallel.mesh import make_mesh
+
+    X = _banded_geno(n=400, m=128)
+    ss = _sumstat(X)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=64, dtype=np.float64)
+    kw = dict(niter=400, nburn=200, seed=7, verbose=False, dtype=jnp.float64)
+    fit1 = ht.sbrm(ss, tiled, method="BayesCpi", **kw)
+    mesh = make_mesh(8, shape=(1, 8))
+    fit8 = ht.sbrm(ss, tiled, method="BayesCpi", mesh=mesh, **kw)
+    assert np.isfinite(fit1.alpha).all()
+    np.testing.assert_allclose(fit8.Vg, fit1.Vg, rtol=1e-8)
+    np.testing.assert_allclose(fit8.Ve, fit1.Ve, rtol=1e-8)
+    np.testing.assert_allclose(fit8.alpha, fit1.alpha, atol=1e-10)
+    np.testing.assert_allclose(fit8.pip, fit1.pip, rtol=1e-8)
+
+
+def test_sbrm_tiled_snp_sharded_no_full_gather():
+    """Compiled sharded step must keep per-device temp far below the global
+    tile store (no all-gather of the LD)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from hibayes_tpu.engine import gibbs as G
+    from hibayes_tpu.engine import sgibbs as SG
+    from hibayes_tpu.parallel.mesh import make_mesh, shard_sgibbs_data
+
+    X = _banded_geno(n=300, m=1024)
+    ss = _sumstat(X)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=256)
+    data, n_eff, vary, nvar0, seg_sizes, seg_real = SG.prepare_sgibbs_data(
+        ss, tiled, fold=np.array([0.0, 1.0]), block=16, dtype=jnp.float32)
+    pr = G.resolve_priors(None, float(np.sum(np.asarray(tiled.diag))), 0.95,
+                          nr=0, vary=vary)
+    spec = G.GibbsSpec(
+        model="BayesCpi", n=n_eff, m=1024, m_pad=int(sum(seg_sizes)), block=16,
+        nc=0, nlevels=(), n_fold=2, niter=20, nburn=10, thin=5, nvar0=nvar0,
+        dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
+        s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0, vargl_strict_pos=True,
+        real_excl_nvar0=True, reject_guard=True, vary=vary,
+        seg_sizes=seg_sizes, seg_real=seg_real,
+    )
+    mesh = make_mesh(8, shape=(1, 8))
+    d8 = shard_sgibbs_data(data, mesh)
+    st0 = SG.init_s_state(spec, d8, pr, np.array([0.95, 0.05]))
+    with mesh:
+        compiled = (
+            jax.jit(partial(SG.one_s_iteration, spec, mesh=mesh))
+            .lower(d8, jax.random.PRNGKey(0), st0)
+            .compile()
+        )
+    tile_bytes = tiled.tiles.nbytes
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    assert temp < tile_bytes / 2, f"temp {temp} vs tiles {tile_bytes}"
