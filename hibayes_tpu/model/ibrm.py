@@ -129,6 +129,7 @@ def ibrm(
     checkpoint=None,
     progress=False,
     nchains=1,
+    mesh=None,
 ) -> BlrMod:
     if method not in METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {METHODS}")
@@ -205,7 +206,7 @@ def ibrm(
     chunk_records = max(int(printfreq) // max(thin, 1), 1) if printfreq else 0
     if nchains > 1:
         state, samples, extras = G.run_chains(
-            spec, gdata, pr, Pi, seed=seed, nchains=nchains
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh
         )
         rhat = extras.get("rhat")
         # flatten (nchains, records, ...) -> (nchains*records, ...) for summaries
@@ -216,7 +217,7 @@ def ibrm(
     else:
         state, samples, extras = G.run_chain(
             spec, gdata, pr, Pi, seed=seed, checkpoint_path=checkpoint,
-            progress=progress, chunk_records=chunk_records,
+            progress=progress, chunk_records=chunk_records, mesh=mesh,
         )
     elapsed = time.time() - t0
     if verbose:

@@ -71,14 +71,16 @@ def ssbrm(
     nchains=1,
     impute="auto",
     chunk_cols=4096,
+    mesh=None,
 ) -> BlrMod:
     """impute: "direct" materialises the dense (n_ng, n_g) operator and the
     dense epsilon A-inverse (the reference's R-side path, R/ssbayes.r:296-307
     — fine for small pedigrees); "pcg" is the scale path — matrix-free
-    batched-PCG imputation in `chunk_cols` column chunks plus an RCM-ordered
-    BSR-tiled A-inverse for the in-chain epsilon Gibbs, so no dense
-    (n_ng x n_g) or (qe x qe) matrix ever exists; "auto" switches to "pcg"
-    when n_ng * n_g exceeds 2^24 entries."""
+    batched-PCG imputation in `chunk_cols` column chunks plus a sparse
+    (diag-blocks + per-block COO) A-inverse for the in-chain epsilon Gibbs,
+    so no dense (n_ng x n_g) or (qe x qe) matrix ever exists; "auto"
+    switches to "pcg" when n_ng * n_g exceeds 2^24 entries.  mesh: shard the
+    chain over devices (see engine/gibbs.run_chain)."""
     if method == "BSLMM":
         raise ValueError("BSLMM is not supported for the single-step model.")
     if method not in METHODS:
@@ -272,7 +274,7 @@ def ssbrm(
     rhat = None
     if nchains > 1:
         state, samples, extras = G.run_chains(
-            spec, gdata, pr, Pi, seed=seed, nchains=nchains
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh
         )
         rhat = extras.get("rhat")
         # flatten (nchains, records, ...) -> (nchains*records, ...)
@@ -281,7 +283,8 @@ def ssbrm(
             for k, v in samples.items()
         }
     else:
-        state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed)
+        state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed,
+                                             mesh=mesh)
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s")

@@ -134,3 +134,22 @@ def test_sharded_matches_for_bayesr():
     np.testing.assert_allclose(
         np.asarray(s1["alpha"]), np.asarray(s8["alpha"]), rtol=1e-8, atol=1e-10
     )
+
+
+def test_ibrm_api_mesh_equality():
+    """mesh= exposed through the high-level API: sharded fit == unsharded."""
+    import jax.numpy as jnp
+
+    import hibayes_tpu as ht
+
+    rng = np.random.default_rng(0)
+    n, m = 160, 512
+    M = rng.binomial(2, 0.3, (n, m)).astype(np.float64)
+    y = M @ rng.normal(0, 0.1, m) + rng.normal(0, 1, n)
+    data = {"id": np.array([f"I{i}" for i in range(n)]), "y": y}
+    kw = dict(data=data, M=M, M_id=data["id"], method="BayesCpi", niter=200,
+              nburn=100, verbose=False, dtype=jnp.float64, block=32)
+    f1 = ht.ibrm("y~1", **kw)
+    f8 = ht.ibrm("y~1", mesh=make_mesh(8, shape=(2, 4)), **kw)
+    np.testing.assert_allclose(f8.Vg, f1.Vg, rtol=1e-8)
+    np.testing.assert_allclose(f8.alpha, f1.alpha, atol=1e-10)
