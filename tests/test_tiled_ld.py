@@ -266,3 +266,18 @@ def test_sbrm_tiled_snp_sharded_no_full_gather():
     tile_bytes = tiled.tiles.nbytes
     temp = compiled.memory_analysis().temp_size_in_bytes
     assert temp < tile_bytes / 2, f"temp {temp} vs tiles {tile_bytes}"
+
+
+def test_sbrm_tiled_multichain():
+    """nchains>1 with tiled LD rides the vmapped XLA sweep; R-hat present and
+    chains agree with the statistical truth scale."""
+    import jax.numpy as jnp
+
+    X = _banded_geno(n=400, m=96)
+    ss = _sumstat(X)
+    tiled = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=48, dtype=np.float64)
+    fit = ht.sbrm(ss, tiled, method="BayesCpi", niter=300, nburn=150,
+                  seed=5, verbose=False, dtype=jnp.float64, nchains=3)
+    assert fit.rhat is not None and "Vg" in fit.rhat
+    assert np.isfinite(fit.alpha).all()
+    assert 0.0 <= fit.h2 <= 1.0
