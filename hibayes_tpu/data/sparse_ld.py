@@ -65,6 +65,50 @@ def _cross_cov(Xi, Xj) -> np.ndarray:
     return (Xi - Xi.mean(0)).T @ (Xj - Xj.mean(0)) / n
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _device_tile_select(X_dev, sd_dev, chrom_dev, i0, j0,
+                        n: int, SW: int, T: int, cap: int, chisq):
+    """One stripe pair, ON DEVICE: slice the HBM-resident genotype, exact
+    int8 cross-Gram -> covariance -> per-entry keep mask (chisq + chromosome
+    + forced diagonal) -> per-tile any-reduction -> gather the surviving
+    T x T tiles into a fixed-size buffer.  Only O(surviving tiles) bytes
+    ever cross the host link (the genotype uploads once; stripe blocks never
+    leave HBM) — what makes the streaming builder usable over a remote
+    device link.
+
+    Returns (idx (cap,) flat tile index or -1, tiles (cap, T, T), count,
+    keep_col_counts, keep_row_counts)."""
+    Xi = jax.lax.dynamic_slice(X_dev, (0, i0), (X_dev.shape[0], SW))
+    Xj = jax.lax.dynamic_slice(X_dev, (0, j0), (X_dev.shape[0], SW))
+    sd_i = jax.lax.dynamic_slice(sd_dev, (i0,), (SW,))
+    sd_j = jax.lax.dynamic_slice(sd_dev, (j0,), (SW,))
+    chrom_i = jax.lax.dynamic_slice(chrom_dev, (i0,), (SW,))
+    chrom_j = jax.lax.dynamic_slice(chrom_dev, (j0,), (SW,))
+    S_ = jax.lax.dot_general(
+        Xi, Xj, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    # S is exact in f32 (entries <= 4n < 2^24); divide the row sums by n
+    # BEFORE the outer product so the correction stays at O(1e-7) absolute
+    si = jnp.sum(Xi.astype(jnp.int32), axis=0).astype(jnp.float32) / n
+    sj = jnp.sum(Xj.astype(jnp.int32), axis=0).astype(jnp.float32)
+    G = (S_.astype(jnp.float32) - jnp.outer(si, sj)) / n
+    r = G / jnp.outer(sd_i, sd_j)
+    if chisq is None:
+        keep = jnp.ones_like(G, dtype=bool)
+    else:
+        keep = (r * r * n) > chisq
+    keep = keep & (chrom_i[:, None] == chrom_j[None, :])
+    keep = keep | ((i0 + jnp.arange(SW))[:, None] == (j0 + jnp.arange(SW))[None, :])
+    nt = SW // T
+    Gm = jnp.where(keep, G, 0.0)
+    tb = keep.reshape(nt, T, nt, T).any(axis=(1, 3))
+    count = jnp.sum(tb)
+    idx = jnp.nonzero(tb.reshape(-1), size=cap, fill_value=-1)[0]
+    G4 = Gm.reshape(nt, T, nt, T).transpose(0, 2, 1, 3).reshape(nt * nt, T, T)
+    tiles = G4[jnp.where(idx >= 0, idx, 0)]
+    return idx, tiles, count, keep.sum(axis=0), keep.sum(axis=1)
+
+
 @dataclass
 class TiledSparseLD:
     """Chi-square-pruned LD in block-sparse tiles (see module docstring).
@@ -257,6 +301,15 @@ def build_tiled_ld(
         var[c0:c1] = blk.var(axis=0)
     sd = np.sqrt(np.maximum(var, 1e-30))
 
+    # device fast path: int8 genotype + f32 tile store + no overlay panel
+    # (the overlay patches individual entries host-side; f64 stores keep the
+    # exact host path for the golden-equality tests)
+    if (gwas_geno is None and np.dtype(dtype) == np.float32
+            and np.issubdtype(np.asarray(X[:1, :1]).dtype, np.integer)
+            and X.dtype.itemsize == 1):
+        return _build_tiled_device(X, chisq, chrom_id, tile, stripe, sd,
+                                   np.float32, progress)
+
     # overlay panel: map reference position -> overlay column
     ov_idx = None
     if gwas_geno is not None:
@@ -359,7 +412,10 @@ def build_tiled_ld(
                       f"({done}/{total_pairs} stripe pairs)", end="", flush=True)
     if progress:
         print()
+    return _assemble_row_tiles(row_tiles, nbr, tile, m, nnz_col, dtype)
 
+
+def _assemble_row_tiles(row_tiles, nbr, tile, m, nnz_col, dtype) -> TiledSparseLD:
     for i in range(nbr):
         row_tiles[i].setdefault(i, np.zeros((tile, tile)))
     k_max = max(len(d) for d in row_tiles)
@@ -375,3 +431,66 @@ def build_tiled_ld(
             tiles[i, k] = d[j]
     return TiledSparseLD(tile=tile, m=m, col_idx=col_idx, valid=valid,
                          tiles=tiles, nnz_col=nnz_col)
+
+
+def _build_tiled_device(X, chisq, chrom_id, tile, stripe, sd, dtype,
+                        progress) -> TiledSparseLD:
+    """Device fast path of :func:`build_tiled_ld` (int8 genotype, f32 tiles):
+    the genotype uploads ONCE to HBM; per stripe pair the covariance, keep
+    mask and per-tile reduction all run on device, and only the surviving
+    tiles (O(nnz)) cross the host link (`_device_tile_select`)."""
+    n, m = X.shape
+    SW = stripe
+    ns = -(-m // SW)
+    m_pad_s = ns * SW
+    Xp = np.zeros((n, m_pad_s), np.int8)
+    Xp[:, :m] = X
+    sd_p = np.ones(m_pad_s, np.float32)
+    sd_p[:m] = np.maximum(sd, 1e-15)
+    ch = np.full(m_pad_s, -1, np.int32)
+    ch[:m] = chrom_id.astype(np.int32) if chrom_id is not None else 0
+    X_dev = jnp.asarray(Xp)
+    sd_dev = jnp.asarray(sd_p)
+    ch_dev = jnp.asarray(ch)
+
+    nbr = -(-m // tile)
+    nt = SW // tile
+    cap = nt * nt  # full coverage: the fixed gather buffer can never overflow
+    row_tiles = [dict() for _ in range(nbr)]
+    nnz_col = np.zeros(m, dtype=np.int64)
+    total = ns * (ns + 1) // 2
+    done = 0
+    for a in range(ns):
+        i0 = a * SW
+        for b in range(a, ns):
+            j0 = b * SW
+            idx_d, tiles_d, count_d, colc_d, rowc_d = _device_tile_select(
+                X_dev, sd_dev, ch_dev, i0, j0, n, SW, tile, cap, chisq)
+            k = int(count_d)
+            jr = min(m, j0 + SW) - j0
+            ir = min(m, i0 + SW) - i0
+            nnz_col[j0 : j0 + jr] += np.asarray(colc_d[:jr], dtype=np.int64)
+            if b != a:
+                nnz_col[i0 : i0 + ir] += np.asarray(rowc_d[:ir], dtype=np.int64)
+            if k:
+                idx_np = np.asarray(idx_d[:k])
+                sel = np.asarray(tiles_d[:k])  # only surviving tiles transfer
+                for t in range(k):
+                    bi, bj = divmod(int(idx_np[t]), nt)
+                    gi = i0 // tile + bi
+                    gj = j0 // tile + bj
+                    if gi >= nbr or gj >= nbr:
+                        continue  # stripe-padding tiles
+                    if b == a and gj < gi:
+                        continue  # lower triangle of the diagonal pair
+                    tl = sel[t].astype(dtype)
+                    row_tiles[gi][gj] = tl
+                    if gi != gj:
+                        row_tiles[gj][gi] = np.ascontiguousarray(tl.T)
+            done += 1
+            if progress:
+                print(f"\rLD tiles: {100 * done // total}% "
+                      f"({done}/{total} stripe pairs)", end="", flush=True)
+    if progress:
+        print()
+    return _assemble_row_tiles(row_tiles, nbr, tile, m, nnz_col, dtype)

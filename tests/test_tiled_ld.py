@@ -281,3 +281,24 @@ def test_sbrm_tiled_multichain():
     assert fit.rhat is not None and "Vg" in fit.rhat
     assert np.isfinite(fit.alpha).all()
     assert 0.0 <= fit.h2 <= 1.0
+
+
+def test_device_builder_matches_host_path():
+    """int8+f32 inputs take the on-device tile-select path; values must match
+    the host f64 path to f32 rounding and the pattern exactly."""
+    X = _banded_geno(n=300, m=160)
+    dev = build_tiled_ld(X, chisq=CHISQ, tile=16, stripe=64, dtype=np.float32)
+    host = build_tiled_ld(X.astype(np.float64), chisq=CHISQ, tile=16,
+                          stripe=64, dtype=np.float64)
+    np.testing.assert_array_equal(dev.nnz_col, host.nnz_col)
+    np.testing.assert_allclose(dev.to_dense(), host.to_dense(),
+                               rtol=2e-5, atol=2e-6)
+    # per-chromosome variant
+    chrom = np.repeat(["1", "2"], 80)
+    dev_c = build_tiled_ld(X, chisq=None, chrom=chrom, tile=16, stripe=64,
+                           dtype=np.float32)
+    host_c = build_tiled_ld(X.astype(np.float64), chisq=None, chrom=chrom,
+                            tile=16, stripe=64, dtype=np.float64)
+    np.testing.assert_array_equal(dev_c.nnz_col, host_c.nnz_col)
+    np.testing.assert_allclose(dev_c.to_dense(), host_c.to_dense(),
+                               rtol=2e-5, atol=2e-6)
