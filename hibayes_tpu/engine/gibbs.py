@@ -591,7 +591,29 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
             pre["vargL_in"], pre["yadj"], pre["u"], mesh,
         )
         return _post_sweep(spec, data, key, state, pre, sweep_out)
-    if spec.use_pallas and blockgibbs.supports(spec, spec.n, dt, geno_itemsize=itemsize):
+
+    def _k1(fn):
+        # single chain through the transposed K-chain engines (unrolled
+        # zero-tail draws: ~4x fewer sequential-latency cycles per SNP than
+        # the masked-lane loop) — add/strip a leading K=1 axis
+        consts_b = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[None], pre["consts"])
+        out = fn(
+            spec, consts_b, data.X_blocks, data.W_blocks, data.xpx, data.vx,
+            pre["vei"][None], state.g[None], *(r[None] for r in pre["rnd"]),
+            pre["vargL_in"][None], pre["yadj"][None], pre["u"][None],
+        )
+        return tuple(o[0] for o in out)
+
+    if spec.use_pallas and blockgibbs.supports_mc_t(
+        spec, spec.n, 1, dt, geno_itemsize=itemsize
+    ):
+        sweep_out = _k1(partial(blockgibbs.sweep_mc_t, interpret=interp))
+    elif spec.use_pallas and not interp and blockgibbs.supports_mc_tc(
+        spec, spec.n, 1, dt, geno_itemsize=itemsize
+    ):
+        sweep_out = _k1(blockgibbs.sweep_mc_tc)
+    elif spec.use_pallas and blockgibbs.supports(spec, spec.n, dt, geno_itemsize=itemsize):
         sweep_out = blockgibbs.sweep(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], state.g, *pre["rnd"], pre["vargL_in"],

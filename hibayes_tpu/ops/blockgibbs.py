@@ -1438,45 +1438,11 @@ def _pack_retry_rows(spec: GibbsSpec, consts, xpx, vx, vei, z_retry):
     return jnp.stack(rows)
 
 
-def _tiled_guard(spec: GibbsSpec, guard: bool, vary):
-    """post_draw hook implementing the SBayesS rejection guard on (1,K) rows
-    (bounded N_RETRY precomputed redraws, zero on exhaustion — reference
-    src/SBayesS.cpp:388-398 truncation with a shorter tail)."""
-    mi = spec.model_index
-    nf = spec.n_fold
-    base = _guard_base(spec)
-    if not guard or mi not in (4, 6):
-        return None
-
-    def post(vals, rhs, gi, track):
-        vxj = vals(base)
-        on = track > 0
-        rej = (gi * gi * vxj > vary) & on
-        for r in range(N_RETRY):
-            if mi == 4:
-                cand = rhs * vals(2) + vals(base + 1 + r)
-            else:
-                cand = jnp.zeros_like(gi)
-                for f in range(1, nf):
-                    cf = rhs * vals(4 + 4 * (f - 1)) + vals(
-                        base + 1 + r * (nf - 1) + (f - 1))
-                    cand = jnp.where(track == f, cf, cand)
-            gi = jnp.where(rej, cand, gi)
-            rej = (gi * gi * vxj > vary) & on
-        return jnp.where(rej, jnp.zeros_like(gi), gi)
-
-    return post
-
-
-def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, KT: int, n: int,
+def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, K: int, n: int,
                     guard: bool,
                     scal_ref, cols_ref, valid_ref, P_ref, tiles_ref, r_in_ref,
                     dg_out_ref, track_out_ref, r_out_ref,
                     r_hat_s, r_loc, dg_s, track_s):
-    """Transposed single-chain tiled sweep: SNPs on SUBLANES (the unrolled
-    zero-tail draw engine of the multi-chain kernels, K=1 lane), r_hat held
-    in VMEM as (B, nbr) so block slices are native lane columns — no
-    transposes anywhere; the per-row scatter touches only stored tiles."""
     i = pl.program_id(0)
     nbr = pl.num_programs(0)
 
@@ -1484,33 +1450,64 @@ def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, KT: int, n: int,
     def _():
         r_hat_s[:] = r_in_ref[:]
 
+    P = P_ref[0]                 # (R, B)
     nf32 = jnp.float32(n)
-    logpi0 = jnp.full((1, 1), scal_ref[0], F32)
+    logpi0 = scal_ref[0]
     vary = scal_ref[1]
+    mi = spec.model_index
+    nf = spec.n_fold
+    base = _guard_base(spec)
 
-    r_loc[:] = r_hat_s[:, pl.ds(i, 1)]          # (B, 1)
-    dg_s[:] = jnp.zeros((B, 1), F32)
-    track_s[:] = jnp.zeros((B, 1), F32)
+    r_loc[:] = r_hat_s[pl.ds(i, 1), :]
+    dg_s[:] = jnp.zeros((1, B), F32)
+    track_s[:] = jnp.zeros((1, B), F32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
 
-    wslice = lambda j0, S: nf32 * tiles_ref[0, 0, pl.ds(j0, S), :].astype(F32)
-    wscal = lambda j, i2: nf32 * tiles_ref[0, 0, j, i2].astype(F32)
-    post = _tiled_guard(spec, guard, vary)
-    _unrolled_draws(spec, B, 1, logpi0, P_ref, None, r_loc, dg_s, track_s,
-                    wslice=wslice, wscal=wscal, post_draw=post)
+    def body(j, _):
+        mask = lane == j
+        red = jnp.sum(jnp.where(mask, P, 0.0), axis=1)
+        vals = lambda r: red[r]
+        rj = jnp.sum(jnp.where(mask, r_loc[:], 0.0))
+        rhs = rj + red[0]
+        gi, track = _draw_from_vals(spec, logpi0, vals, rhs)
+        if guard and mi in (4, 6):
+            vxj = red[base]
+            on = track > 0
+            rej = (gi * gi * vxj > vary) & on
+            for r in range(N_RETRY):
+                if mi == 4:
+                    cand = rhs * red[2] + red[base + 1 + r]
+                else:
+                    cand = jnp.zeros_like(gi)
+                    for f in range(1, nf):
+                        cf = rhs * red[4 + 4 * (f - 1)] + red[base + 1 + r * (nf - 1) + (f - 1)]
+                        cand = jnp.where(track == f, cf, cand)
+                gi = jnp.where(rej, cand, gi)
+                rej = (gi * gi * vxj > vary) & on
+            gi = jnp.where(rej, jnp.zeros_like(gi), gi)
+        dg = red[1] - gi
+        dg_s[:] = jnp.where(mask, dg, dg_s[:])
+        if track is not None:
+            track_s[:] = jnp.where(mask, track, track_s[:])
+        # in-block Gram row: n * (diagonal tile row j)
+        wrow = tiles_ref[0, 0, pl.ds(j, 1), :].astype(F32)
+        r_loc[:] = r_loc[:] + dg * nf32 * wrow
+        return 0
 
+    jax.lax.fori_loop(0, B, body, 0)
     dg_out_ref[0] = dg_s[:]
     track_out_ref[0] = track_s[:]
 
-    # scatter: r_hat[:, block cols[k]] += n * tile_k^T @ dg (stored tiles only)
-    for k in range(KT):
+    # scatter: r_hat[block cols_ref[k]] += n * tile_k^T @ dg  (stored tiles only)
+    for k in range(K):
         j = cols_ref[0, 0, k]
         tk = tiles_ref[0, k].astype(F32)                      # (B, B)
         upd = jax.lax.dot_general(
-            tk, dg_s[:], (((0,), (0,)), ((), ())), preferred_element_type=F32
-        )                                                     # (B, 1)
+            dg_s[:], tk, (((1,), (0,)), ((), ())), preferred_element_type=F32
+        )                                                     # (1, B)
         vk = valid_ref[0, 0, k].astype(F32)
-        cur = r_hat_s[:, pl.ds(j, 1)]
-        r_hat_s[:, pl.ds(j, 1)] = cur + nf32 * vk * upd
+        cur = r_hat_s[pl.ds(j, 1), :]
+        r_hat_s[pl.ds(j, 1), :] = cur + nf32 * vk * upd
 
     @pl.when(i == nbr - 1)
     def _():
@@ -1524,29 +1521,26 @@ def supports_s_tiled(spec: GibbsSpec, nbr: int, k_max: int, dtype) -> bool:
     if B % 128 != 0:
         return False
     vmem = (
-        3 * nbr * B * 4                 # r_in + r_out + r_hat scratch (B, nbr)
+        3 * nbr * B * 4                 # r_in + r_out + r_hat scratch
         + 2 * k_max * B * B * 4         # double-buffered tile row
-        + 2 * B * 64 * 128 * 4          # P blocks (B, R_pad, 1->128 lanes)
+        + 2 * 64 * B * 4                # P rows (generous R bound)
     )
     return vmem < 13 * 1024 * 1024
 
 
 def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
                   P_blocks, n: int, interpret=False):
-    """Sweep the whole tiled LD.  tiles (nbr, KT, B, B); cols/valid (nbr, KT);
+    """Sweep the whole tiled LD.  tiles (nbr, K, B, B); cols/valid (nbr, K);
     r_hat (m_pad,); P_blocks (nbr, R, B).  Returns (dg, track, r_hat_new),
     each (m_pad,)."""
-    nbr, KT, B, _ = tiles.shape
+    nbr, K, B, _ = tiles.shape
     R = P_blocks.shape[1]
     guard = bool(spec.reject_guard) and spec.model_index in (4, 6)
     scal = jnp.stack([
         consts["logpi"][0].astype(F32),
         jnp.asarray(spec.vary, F32),
     ])
-    # transposed layouts: SNPs on sublanes, r_hat as (B, nbr) lane columns
-    P_t = P_blocks.astype(F32).transpose(0, 2, 1)[..., None]  # (nbr, B, R, 1)
-    r_t = r_hat.astype(F32).reshape(nbr, B).T                 # (B, nbr)
-    kern = functools.partial(_kernel_s_tiled, spec, B, R, KT, n, guard)
+    kern = functools.partial(_kernel_s_tiled, spec, B, R, K, n, guard)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     dg, track_f, r_new = pl.pallas_call(
@@ -1554,36 +1548,36 @@ def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
         grid=(nbr,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, KT), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, KT), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, R, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KT, B, B), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            full((B, nbr)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, B, B), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            full((nbr, B)),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((B, nbr)),
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((nbr, B)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nbr, B, 1), F32),
-            jax.ShapeDtypeStruct((nbr, B, 1), F32),
-            jax.ShapeDtypeStruct((B, nbr), F32),
+            jax.ShapeDtypeStruct((nbr, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr, B), F32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, nbr), F32),
-            pltpu.VMEM((B, 1), F32),
-            pltpu.VMEM((B, 1), F32),
-            pltpu.VMEM((B, 1), F32),
+            pltpu.VMEM((nbr, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
+            pltpu.VMEM((1, B), F32),
         ],
         interpret=interpret,
     )(
         scal,
-        cols.astype(jnp.int32).reshape(nbr, 1, KT),
-        valid.astype(jnp.int32).reshape(nbr, 1, KT),
-        P_t,
+        cols.astype(jnp.int32).reshape(nbr, 1, K),
+        valid.astype(jnp.int32).reshape(nbr, 1, K),
+        P_blocks.astype(F32),
         tiles.astype(F32),
-        r_t,
+        r_hat.astype(F32).reshape(nbr, B),
     )
     return (dg.reshape(nbr * B), track_f.reshape(nbr * B).astype(jnp.int32),
-            r_new.T.reshape(nbr * B))
+            r_new.reshape(nbr * B))
