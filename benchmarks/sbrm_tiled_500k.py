@@ -1,3 +1,8 @@
+"""sbrm tiled-sparse LD at m=500,000 on one chip.
+
+Measured (tunneled v5e, 2026-08-20): 103 ms/iteration -> 4.8M SNP-updates/s
+(BayesCpi, 9-tile banded LD, 2.3 GB tile store, rejection guard on).
+"""
 import time
 from functools import partial
 import numpy as np
