@@ -254,6 +254,30 @@ def _print_header(spec, pr, Pi, fold, method, n, m, nc, nlevels, nw):
         print(f"    Number of windows for GWAS analysis {nw}")
 
 
+def _big_matmul(A, B, flop_threshold=2e10, chunk_bytes=1 << 27):
+    """A @ B, routed through the device MXU in column chunks when large.
+
+    The GEBV assembly (M @ alpha_samples', R/bayes.r:303-308) is ~26 TFLOP at
+    the 500k-SNP flagship config — minutes in host BLAS, seconds on the MXU.
+    Small products stay in NumPy (f64, exact for the golden tests)."""
+    A = np.asarray(A)
+    B = np.asarray(B)
+    if 2.0 * A.shape[0] * A.shape[1] * B.shape[1] < flop_threshold:
+        return A @ B
+    import jax
+    import jax.numpy as jnp
+
+    Ad = jnp.asarray(A, jnp.float32)
+    cb = max(1, int(chunk_bytes // (4 * max(A.shape[1], 1))))
+    out = np.empty((A.shape[0], B.shape[1]), dtype=np.float64)
+    for c0 in range(0, B.shape[1], cb):
+        blk = jnp.asarray(B[:, c0 : c0 + cb], jnp.float32)
+        out[:, c0 : c0 + cb] = np.asarray(
+            jnp.matmul(Ad, blk, precision=jax.lax.Precision.HIGHEST)
+        )
+    return out
+
+
 def _assemble_results(
     method, formula, spec, samples, extras, mf, y, M_id, keep,
     M_phen, Mp, windinfo, K=None, Kval=None, sumvx=1.0, model_desc="",
@@ -288,9 +312,9 @@ def _assemble_results(
     # GEBV samples for ALL genotyped ids incl. unphenotyped (R/bayes.r:303-308)
     n_rec = alpha_s.shape[0]
     g_samples = np.zeros((len(M_id), n_rec))
-    g_samples[keep] = M_phen @ alpha_s.T
+    g_samples[keep] = _big_matmul(M_phen, alpha_s.T)
     if Mp is not None:
-        g_samples[~keep] = Mp @ alpha_s.T
+        g_samples[~keep] = _big_matmul(Mp, alpha_s.T)
     s["g"] = g_samples
     gebv = {"id": M_id, "gebv": g_samples.mean(axis=1)}
 

@@ -167,9 +167,10 @@ def ssbrm(
     Ai_rows = Ai.tocsr()[ng_indx]
     Ai_nn = Ai_rows.tocsc()[:, ng_indx]
     if scale_path:
-        # RCM-cluster the non-genotyped block so its A-inverse is banded
-        # (efficient BSR tiling for the in-chain epsilon Gibbs); pure level
-        # reordering — results are keyed by id
+        # RCM-cluster the non-genotyped block: concentrates A-inverse
+        # entries near the diagonal (denser diag blocks, fewer scattered
+        # triplets for the in-chain epsilon Gibbs); pure level reordering —
+        # results are keyed by id
         perm = rcm_permutation(Ai_nn)
         ng_indx = ng_indx[perm]
         Ai_rows = Ai.tocsr()[ng_indx]
@@ -294,7 +295,9 @@ def ssbrm(
     alpha_s = s["alpha"]
     n_rec = alpha_s.shape[0]
     all_ids = np.concatenate([M_id, Mn_id])
-    top = M_values @ alpha_s.T
+    from .ibrm import _big_matmul
+
+    top = _big_matmul(M_values, alpha_s.T)
     # lower block: A.ng @ (M @ alpha') == Mn @ alpha' without materialising Mn
     lower = a_op.apply(top) if scale_path else Mn @ alpha_s.T
     g_samples = np.vstack([top, lower])
