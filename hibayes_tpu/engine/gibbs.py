@@ -572,6 +572,65 @@ def snp_shard_count(nblocks: int, mesh) -> int:
     return s if s > 1 and nblocks % s == 0 else 1
 
 
+def ind_shard_count(mesh) -> int:
+    """Shards of the individual axis a mesh provides (1 = not sharded)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("ind", 1))
+
+
+def hybrid_draws_supported(spec: GibbsSpec, dt) -> bool:
+    """Whether the per-block Pallas draw kernel (`_s_block_draws` over the
+    genotype Gram) can replace the per-SNP XLA scan: the sharding-composable
+    sweep used under ind-sharded meshes (the two X matmuls stay XLA ops that
+    GSPMD/shard_map partition; only the tiny (B, K) draw kernel is Pallas,
+    replicated on every shard)."""
+    return (
+        dt == jnp.float32
+        and not spec.reject_guard
+        and spec.block % 8 == 0
+    )
+
+
+def _select_sweep_mc(spec: GibbsSpec, n: int, K: int, dt, itemsize: int,
+                     interp: bool):
+    """Pick the fused K-chain sweep kernel for this configuration, or None.
+    Preference: transposed (X block VMEM-resident, grid-pipelined DMA) >
+    int8-resident transposed (X in storage dtype in VMEM, chunked casts —
+    4x the n-reach, X crosses HBM once per iteration) > chunked-n transposed
+    (X streamed from HBM; manual DMA is not modelled by the CPU interpreter)
+    > masked-lane multi-chain."""
+    from ..ops import blockgibbs
+
+    if not spec.use_pallas:
+        return None
+    candidates = [
+        (blockgibbs.sweep_mc_t, blockgibbs.supports_mc_t),
+        (blockgibbs.sweep_mc_ti, blockgibbs.supports_mc_ti),
+    ]
+    if not interp:
+        candidates.append((blockgibbs.sweep_mc_tc, blockgibbs.supports_mc_tc))
+    candidates.append((blockgibbs.sweep_mc, blockgibbs.supports_mc))
+    for fn, ok in candidates:
+        if ok(spec, n, K, dt, geno_itemsize=itemsize):
+            return partial(fn, interpret=interp)
+    return None
+
+
+def _run_sweep_k1(fn, spec, consts, X_blocks, W_blocks, xpx, vx, vei, g, rnd,
+                  vargL_in, yadj, u):
+    """Run a K-chain sweep kernel as a single chain (add/strip the K=1 axis).
+    The transposed engines at K=1 use unrolled zero-tail draws: ~4x fewer
+    sequential-latency cycles per SNP than the masked-lane loop."""
+    consts_b = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], consts)
+    out = fn(
+        spec, consts_b, X_blocks, W_blocks, xpx, vx,
+        vei[None], g[None], *(r[None] for r in rnd),
+        vargL_in[None], yadj[None], u[None],
+    )
+    return tuple(o[0] for o in out)
+
+
 def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
                   mesh=None):
     """One full MCMC iteration = pre-sweep effects + SNP sweep + global
@@ -592,27 +651,33 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
         )
         return _post_sweep(spec, data, key, state, pre, sweep_out)
 
-    def _k1(fn):
-        # single chain through the transposed K-chain engines (unrolled
-        # zero-tail draws: ~4x fewer sequential-latency cycles per SNP than
-        # the masked-lane loop) — add/strip a leading K=1 axis
-        consts_b = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x)[None], pre["consts"])
-        out = fn(
-            spec, consts_b, data.X_blocks, data.W_blocks, data.xpx, data.vx,
-            pre["vei"][None], state.g[None], *(r[None] for r in pre["rnd"]),
-            pre["vargL_in"][None], pre["yadj"][None], pre["u"][None],
-        )
-        return tuple(o[0] for o in out)
+    if ind_shard_count(mesh) > 1:
+        # An ind-sharded mesh must NOT reach the monolithic Pallas kernels:
+        # pallas_call has no GSPMD partitioning rule, so XLA would gather the
+        # full genotype to every device.  Route through the shard_map-wrapped
+        # per-block hybrid (kernel-grade draws, psum'd matmuls) or, when the
+        # configuration is unsupported, the plain XLA sweep (GSPMD-safe).
+        if spec.use_pallas and hybrid_draws_supported(spec, dt):
+            sweep_out = _run_sweep_k1(
+                partial(_sweep_ind_hybrid_mc, mesh=mesh, interpret=interp),
+                spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+                data.vx, pre["vei"], state.g, pre["rnd"], pre["vargL_in"],
+                pre["yadj"], pre["u"],
+            )
+        else:
+            sweep_out = _sweep_xla(
+                spec, data, pre["consts"], pre["rnd"], pre["vei"], state.g,
+                pre["vargL_in"], pre["yadj"], pre["u"],
+            )
+        return _post_sweep(spec, data, key, state, pre, sweep_out)
 
-    if spec.use_pallas and blockgibbs.supports_mc_t(
-        spec, spec.n, 1, dt, geno_itemsize=itemsize
-    ):
-        sweep_out = _k1(partial(blockgibbs.sweep_mc_t, interpret=interp))
-    elif spec.use_pallas and not interp and blockgibbs.supports_mc_tc(
-        spec, spec.n, 1, dt, geno_itemsize=itemsize
-    ):
-        sweep_out = _k1(blockgibbs.sweep_mc_tc)
+    mc_fn = _select_sweep_mc(spec, spec.n, 1, dt, itemsize, interp)
+    if mc_fn is not None:
+        sweep_out = _run_sweep_k1(
+            mc_fn, spec, pre["consts"], data.X_blocks, data.W_blocks,
+            data.xpx, data.vx, pre["vei"], state.g, pre["rnd"],
+            pre["vargL_in"], pre["yadj"], pre["u"],
+        )
     elif spec.use_pallas and blockgibbs.supports(spec, spec.n, dt, geno_itemsize=itemsize):
         sweep_out = blockgibbs.sweep(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
@@ -871,6 +936,81 @@ def _sweep_xla(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g, vargL_in,
     )
 
 
+def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
+                         vx, vei_b, g_b, z_b, u_b, chi_b, z2_b, vargL_b,
+                         yadj_b, u_vec_b, *, mesh, interpret=False):
+    """K-chain sweep under an ind-sharded mesh at kernel speed.
+
+    The monolithic Pallas sweeps cannot run under an ind-sharded mesh —
+    pallas_call has no GSPMD partitioning rule, so XLA would gather the full
+    genotype onto every device.  This hybrid keeps the two X matmuls as plain
+    XLA ops inside shard_map (shard-local contractions + one psum over `ind`
+    per block for r0 — the only cross-shard quantity besides the delta, which
+    stays shard-local) and runs the B sequential draws in the tiny per-block
+    Pallas kernel on (B, K) tiles, replicated on every shard (deterministic,
+    bit-identical across replicas).  Matches the XLA scan chain exactly.
+    Reference hot loop: src/Bayes.cpp:586-816.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from ..ops import blockgibbs
+
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    K = yadj_b.shape[0]
+    F32 = jnp.float32
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return blockgibbs._pack_rows(spec, c, xpx, vx, vei, g, z, uu, chi)
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]
+    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)  # (nb, B, R, K)
+    logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
+
+    def body(X, W, P_bl, logpi, yadj, u):
+        def block_body(carry, xs):
+            ya, uu = carry
+            Xb, Wb, P_b = xs
+            Xl = Xb.astype(F32)
+            r0 = jax.lax.psum(
+                jax.lax.dot_general(
+                    Xl, ya, (((0,), (1,)), ((), ())),
+                    preferred_element_type=F32,
+                ),
+                "ind",
+            )  # (B, K)
+            dg, track_b = blockgibbs._s_block_draws(
+                spec, logpi, P_b, Wb, r0, interpret=interpret
+            )
+            delta = jax.lax.dot_general(
+                dg, Xl, (((0,), (1,)), ((), ())), preferred_element_type=F32
+            )  # (K, n_loc)
+            return (ya + delta, uu - delta), (dg, track_b)
+
+        (ya, uu), (dgs, tracks) = jax.lax.scan(block_body, (yadj, u), (X, W, P_bl))
+        return ya, uu, dgs, tracks
+
+    yadj_o, u_o, dgs, tracks = shard_map(
+        body, mesh=mesh,
+        in_specs=(PS(None, "ind", None), PS(None, None, None),
+                  PS(None, None, None, None), PS(None, None),
+                  PS(None, "ind"), PS(None, "ind")),
+        out_specs=(PS(None, "ind"), PS(None, "ind"), PS(), PS()),
+        check_vma=False,
+    )(X_blocks, W_blocks.astype(F32), P_blocks, logpi_row,
+      yadj_b.astype(F32), u_vec_b.astype(F32))
+
+    dg = dgs.transpose(2, 0, 1).reshape(K, m_pad)
+    track = tracks.transpose(2, 0, 1).reshape(K, m_pad).astype(jnp.int32)
+    g_new = g_b.astype(F32) - dg
+    return blockgibbs._phase_c_mc(spec, consts_b, vx, vei_b, g_new, track,
+                                  u_b, z2_b, vargL_b, yadj_o, u_o)
+
+
 def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
                        vargL_in, yadj, u, mesh):
     """Exact SNP-axis model-parallel sweep (SURVEY §2.3 P3 / §7 hard part 1;
@@ -884,51 +1024,122 @@ def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
     replica with one psum over the `snp` mesh axis (the residual-correction
     merge over ICI).  Same Markov kernel as the single-device sweep; the
     n axis may be sharded simultaneously (psum over `ind` inside the turn).
+
+    The shard-local sweep runs at kernel speed: pure m-MP meshes call the
+    monolithic fused Pallas sweep on the local X/W blocks (pallas inside
+    shard_map sees shard-local shapes — no partitioning-rule hazard); 2-D
+    meshes (m-MP x n-DP) use the per-block hybrid (psum'd r0 + the (B, K=1)
+    Pallas draw kernel).  Unsupported configurations (f64, rejection guard)
+    fall back to the per-SNP XLA scan.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
+
+    from ..ops import blockgibbs
 
     dt = yadj.dtype
     B = spec.block
     nb = spec.nblocks
     has_ind = int(mesh.shape.get("ind", 1)) > 1
     S = int(mesh.shape["snp"])
+    interp = jax.default_backend() == "cpu"
+    itemsize = data.X_blocks.dtype.itemsize
     z_snp, u_snp, chi_snp, z2_snp = rnd
     rs = lambda x: x.reshape(nb, B)
     pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
           rs(chi_snp), rs(z2_snp), rs(vargL_in), rs(jnp.arange(spec.m_pad)))
 
+    # static selection of the shard-local sweep engine
+    mc_fn = (None if has_ind
+             else _select_sweep_mc(spec, spec.n, 1, dt, itemsize, interp))
+    use_hybrid = (mc_fn is None and spec.use_pallas
+                  and hybrid_draws_supported(spec, dt))
+
     def body(X, W, pvt, yadj, u, consts):
         xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb = pvt
         sidx = jax.lax.axis_index("snp")
         nb_loc = X.shape[0]
+        flat = lambda x: x.reshape(-1)
 
-        def local_sweep(args):
-            yadj, u = args
-
-            def block_body(carry, xs):
-                yadj, u, vargi, vargR = carry
-                Xb, Wb, xpxj, vxj, veij, gj, zj, uj, chij, z2j, vLj, gidxj = xs
-                Xl = Xb.astype(dt)
-                r0 = jnp.matmul(Xl.T, yadj, precision=HIGHEST)
-                if has_ind:
-                    r0 = jax.lax.psum(r0, "ind")
-                (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
-                    partial(_snp_scan_step, spec, consts),
-                    (r0, vargi, vargR),
-                    (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj, uj,
-                     chij, z2j, vLj),
-                )
-                dg = gj - g_new_b
-                delta = jnp.matmul(Xl, dg, precision=HIGHEST)
-                return (yadj + delta, u - delta, vargi, vargR), (
-                    g_new_b, track_b, vargL_new_b)
-
-            (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
-                block_body, (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
-                (X, W, xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb),
+        if use_hybrid:
+            c_pack = dict(consts)
+            c_pack["vargL_vec"] = flat(vargLb)
+            P_loc = blockgibbs._pack_rows(
+                spec, c_pack, flat(xpx_b), flat(vx_b), flat(vei_b),
+                flat(g_b), flat(zb), flat(ub), flat(chib),
             )
-            return ya2, u2, vargi, vargR, gn, tr, vl
+            R = P_loc.shape[0]
+            P_blocks = P_loc.reshape(R, nb_loc, B).transpose(1, 2, 0)[..., None]
+            logpi_row = consts["logpi"][0].astype(jnp.float32).reshape(1, 1)
+
+        if mc_fn is not None:
+            def local_sweep(args):
+                yadj, u = args
+                out = _run_sweep_k1(
+                    mc_fn, spec, consts, X, W, flat(xpx_b), flat(vx_b),
+                    flat(vei_b), flat(g_b),
+                    (flat(zb), flat(ub), flat(chib), flat(z2b)),
+                    flat(vargLb), yadj, u,
+                )
+                g_new, track, vargL_new, ya2, u2, vargi, vargR = out
+                return (ya2, u2, vargi, vargR, g_new.reshape(nb_loc, B),
+                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B))
+        elif use_hybrid:
+            def local_sweep(args):
+                yadj, u = args
+
+                def block_body(carry, xs):
+                    ya, uu = carry
+                    Xb, Wb, P_b, g_row = xs
+                    Xl = Xb.astype(dt)
+                    r0 = jnp.matmul(Xl.T, ya, precision=HIGHEST)
+                    if has_ind:
+                        r0 = jax.lax.psum(r0, "ind")
+                    dg, track_b = blockgibbs._s_block_draws(
+                        spec, logpi_row, P_b, Wb.astype(jnp.float32),
+                        r0.reshape(B, 1), interpret=interp,
+                    )
+                    dgv = dg[:, 0]
+                    delta = jnp.matmul(Xl, dgv, precision=HIGHEST)
+                    return (ya + delta, uu - delta), (
+                        g_row - dgv, track_b[:, 0].astype(jnp.int32))
+
+                (ya2, u2), (gn, tr) = jax.lax.scan(
+                    block_body, (yadj, u), (X, W, P_blocks, g_b))
+                out = blockgibbs._phase_c(
+                    spec, c_pack, flat(vx_b), flat(vei_b), flat(gn), flat(tr),
+                    flat(ub), flat(z2b), flat(vargLb), ya2, u2,
+                )
+                g_new, track, vargL_new, ya2, u2, vargi, vargR = out
+                return (ya2, u2, vargi, vargR, g_new.reshape(nb_loc, B),
+                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B))
+        else:
+            def local_sweep(args):
+                yadj, u = args
+
+                def block_body(carry, xs):
+                    yadj, u, vargi, vargR = carry
+                    Xb, Wb, xpxj, vxj, veij, gj, zj, uj, chij, z2j, vLj, gidxj = xs
+                    Xl = Xb.astype(dt)
+                    r0 = jnp.matmul(Xl.T, yadj, precision=HIGHEST)
+                    if has_ind:
+                        r0 = jax.lax.psum(r0, "ind")
+                    (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
+                        partial(_snp_scan_step, spec, consts),
+                        (r0, vargi, vargR),
+                        (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj, uj,
+                         chij, z2j, vLj),
+                    )
+                    dg = gj - g_new_b
+                    delta = jnp.matmul(Xl, dg, precision=HIGHEST)
+                    return (yadj + delta, u - delta, vargi, vargR), (
+                        g_new_b, track_b, vargL_new_b)
+
+                (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
+                    block_body, (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
+                    (X, W, xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb),
+                )
+                return ya2, u2, vargi, vargR, gn, tr, vl
 
         def skip(args):
             yadj, u = args
@@ -1593,13 +1804,15 @@ def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=66
 # ---------------------------------------------------------------------------
 
 
-def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
+def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
+                        mesh=None):
     """One iteration of K chains.  The cheap phases vmap; the SNP sweep uses
     the dedicated multi-chain Pallas kernel when supported (the matvecs get
     M=K on the MXU and the draws run on (K,1) sublane vectors), else the
-    vmapped XLA sweep."""
-    from ..ops import blockgibbs
-
+    vmapped XLA sweep.  Under an ind-sharded mesh the monolithic kernels are
+    skipped (no GSPMD rule -> full-genotype gather) in favour of the
+    shard_map-wrapped per-block hybrid; SNP-sharded meshes are rejected in
+    run_chains."""
     dt = data.y.dtype
     keys = jax.vmap(lambda k, it: jax.random.fold_in(k, it))(chain_keys, states.it)
     pre = jax.vmap(lambda k, s: _pre_sweep(spec, data, k, s))(keys, states)
@@ -1607,27 +1820,19 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
 
     itemsize = data.X_blocks.dtype.itemsize
     interp = jax.default_backend() == "cpu"
+    ind_sharded = ind_shard_count(mesh) > 1
     sweep_fn = None
-    if spec.use_pallas:
-        # preference: transposed (X block resident) > chunked-n transposed
-        # (X streamed from HBM, large n; DMA not available in interpret mode)
-        # > masked-reduce > vmapped XLA scan
-        candidates = [
-            (blockgibbs.sweep_mc_t, blockgibbs.supports_mc_t),
-        ]
-        if not interp:
-            candidates.append((blockgibbs.sweep_mc_tc, blockgibbs.supports_mc_tc))
-        candidates.append((blockgibbs.sweep_mc, blockgibbs.supports_mc))
-        for fn, ok in candidates:
-            if ok(spec, spec.n, K, dt, geno_itemsize=itemsize):
-                sweep_fn = fn
-                break
+    if ind_sharded:
+        if spec.use_pallas and hybrid_draws_supported(spec, dt):
+            sweep_fn = partial(_sweep_ind_hybrid_mc, mesh=mesh, interpret=interp)
+    else:
+        sweep_fn = _select_sweep_mc(spec, spec.n, K, dt, itemsize, interp)
     if sweep_fn is not None:
         z_b, u_b, chi_b, z2_b = pre["rnd"]
         sweep_out = sweep_fn(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,
-            pre["vargL_in"], pre["yadj"], pre["u"], interpret=interp,
+            pre["vargL_in"], pre["yadj"], pre["u"],
         )
     else:
         sweep_out = jax.vmap(
@@ -1660,12 +1865,13 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states):
     return new_states
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _run_all_multi(spec: GibbsSpec, data: GibbsData, chain_keys, states):
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_all_multi(spec: GibbsSpec, data: GibbsData, chain_keys, states,
+                   mesh=None):
     """K independent chains batched: per-block matvecs become (K,n)x(n,B)
     matmuls (MXU M=K instead of 1) and every draw vectorises across chains.
     The reference runs a single chain only."""
-    step = lambda ss: one_iteration_batch(spec, data, chain_keys, ss)
+    step = lambda ss: one_iteration_batch(spec, data, chain_keys, ss, mesh=mesh)
 
     states = jax.lax.fori_loop(0, spec.nburn, lambda i, ss: step(ss), states)
 
@@ -1694,9 +1900,18 @@ def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
     if mesh is not None:
         from ..parallel.mesh import shard_gibbs_data
 
+        if snp_shard_count(spec.nblocks, mesh) > 1:
+            # A (snp>1) mesh with nchains>1 would silently re-gather every
+            # SNP shard (one_iteration_batch has no turn-based snp branch),
+            # defeating the memory purpose of m-MP.  Refuse loudly.
+            raise NotImplementedError(
+                "multi-chain x SNP-sharded mesh is not supported: run "
+                "nchains=1 with the snp mesh (run_chain), or use an "
+                "ind-only mesh for multi-chain execution."
+            )
         data = shard_gibbs_data(data, mesh)
         with mesh:
-            states, samples = _run_all_multi(spec, data, chain_keys, states0)
+            states, samples = _run_all_multi(spec, data, chain_keys, states0, mesh)
     else:
         states, samples = _run_all_multi(spec, data, chain_keys, states0)
     states, samples = jax.block_until_ready((states, samples))

@@ -246,7 +246,7 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key,
             r_hat, g_new, track, vargL_new, vargi_acc, vargR_acc = (
                 _tiled_sweep_snp_sharded(
                     spec, consts, data, vei, g, vargL_full,
-                    z_snp, u_snp, chi_snp, z2_snp, r_hat, mesh,
+                    z_snp, u_snp, chi_snp, z2_snp, r_hat, mesh, key=key,
                 )
             )
             return _s_finish(
@@ -463,15 +463,25 @@ def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
 
 def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
                              g, vargL_full, z_snp, u_snp, chi_snp, z2_snp,
-                             r_hat, mesh):
+                             r_hat, mesh, key=None):
     """SNP-sharded tiled summary sweep: each device's HBM holds only its own
     LD tile rows; shards sweep in global block order (turn loop; inactive
     shards skip via lax.cond) and the r_hat deltas merge with one psum over
     the `snp` axis per turn — the same Markov kernel as the single-device
     sweep, scaling m beyond one chip's HBM (25 GB of tiles at m=5M spans an
-    8-chip slice)."""
+    8-chip slice).
+
+    The shard-local sweep runs the fused tiled Pallas kernel
+    (ops/blockgibbs.sweep_s_tiled with a shard row offset; r_hat state
+    resident in VMEM across the local tile rows, O(nnz) scatter) — the same
+    kernel the single-device path uses, so the multi-chip configuration runs
+    at kernel speed rather than the per-SNP XLA scan.  Unsupported
+    configurations (f64, block % 128 != 0) fall back to the XLA scan rows.
+    Reference hot loop: src/SBayesS.cpp:292-296."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
+
+    from ..ops import blockgibbs
 
     dt = data.xy.dtype
     B = spec.block
@@ -479,19 +489,69 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
     nbr = m_pad // B
     S = int(mesh.shape["snp"])
     nb_loc = nbr // S
+    k_max = data.ld_tiles.shape[1]
+    interp = jax.default_backend() == "cpu"
+    use_kernel = (spec.use_pallas
+                  and blockgibbs.supports_s_tiled(spec, nbr, k_max, dt))
+    guard = bool(spec.reject_guard) and spec.model_index in (4, 6)
     rs = lambda x: x.reshape(nbr, B)
     pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
           rs(chi_snp), rs(z2_snp), rs(vargL_full), rs(jnp.arange(m_pad)))
 
-    def body(tiles, cols, valid, pvt, r_hat, consts):
-        sidx = jax.lax.axis_index("snp")
-        row_ids = sidx * nb_loc + jnp.arange(nb_loc)
-        g_b = pvt[3]
-        vargL_b = pvt[8]
+    # in-kernel rejection guard consumes the same retry-normal stream as the
+    # single-device kernel path (chain equality across device counts)
+    if use_kernel and guard and key is not None:
+        z_retry = jax.random.normal(
+            jax.random.fold_in(key, blockgibbs.STREAM_SNP_ZR),
+            (blockgibbs.N_RETRY, m_pad), dtype=dt,
+        ).reshape(blockgibbs.N_RETRY, nbr, B)
+    else:
+        z_retry = jnp.zeros((1, nbr, B), dt)
 
-        def local_sweep(rh):
-            return _tiled_sweep_rows(
-                spec, consts, dt, tiles, cols, valid, pvt, row_ids, rh)
+    def body(tiles, cols, valid, pvt, zr, r_hat, consts):
+        sidx = jax.lax.axis_index("snp")
+        row_base = sidx * nb_loc
+        row_ids = row_base + jnp.arange(nb_loc)
+        xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargL_b, gidxb = pvt
+        flat = lambda x: x.reshape(-1)
+
+        if use_kernel:
+            c_pack = dict(consts)
+            c_pack["vargL_vec"] = flat(vargL_b)
+            P = blockgibbs._pack_rows(
+                spec, c_pack, flat(xpx_b), flat(vx_b), flat(vei_b),
+                flat(g_b), flat(zb), flat(ub), flat(chib),
+            )
+            if guard:
+                P = jnp.concatenate([
+                    P,
+                    blockgibbs._pack_retry_rows(
+                        spec, consts, flat(xpx_b), flat(vx_b), flat(vei_b),
+                        zr.reshape(zr.shape[0], -1),
+                    ),
+                ])
+            R = P.shape[0]
+            P_blocks = P.reshape(R, nb_loc, B).transpose(1, 0, 2)
+
+            def local_sweep(rh):
+                dg, track, r_new = blockgibbs.sweep_s_tiled(
+                    spec, consts, tiles, cols, valid, rh, P_blocks, spec.n,
+                    row_base=row_base, interpret=interp,
+                )
+                g_new = flat(g_b) - dg.astype(dt)
+                out = blockgibbs._phase_c(
+                    spec, c_pack, flat(vx_b), flat(vei_b), g_new, track,
+                    flat(ub), flat(z2b), flat(vargL_b),
+                    jnp.zeros((1,), dt), jnp.zeros((1,), dt),
+                )
+                g_new, track, vargL_new, _, _, vi, vR = out
+                return (r_new.astype(dt), g_new.reshape(nb_loc, B),
+                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B),
+                        vi, vR)
+        else:
+            def local_sweep(rh):
+                return _tiled_sweep_rows(
+                    spec, consts, dt, tiles, cols, valid, pvt, row_ids, rh)
 
         def skip(rh):
             return (rh, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
@@ -519,11 +579,12 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
     g_new, track, vargL_new, r_hat, vargi, vargR = shard_map(
         body, mesh=mesh,
         in_specs=(PS("snp", None, None, None), PS("snp", None),
-                  PS("snp", None), pv_spec, PS(), consts_spec),
+                  PS("snp", None), pv_spec, PS(None, "snp", None), PS(),
+                  consts_spec),
         out_specs=(PS("snp", None), PS("snp", None), PS("snp", None),
                    PS(), PS(), PS()),
         check_vma=False,
-    )(data.ld_tiles, data.ld_cols, data.ld_valid, pv, r_hat, consts)
+    )(data.ld_tiles, data.ld_cols, data.ld_valid, pv, z_retry, r_hat, consts)
     return (r_hat, g_new.reshape(-1), track.reshape(-1),
             vargL_new.reshape(-1), vargi, vargR)
 

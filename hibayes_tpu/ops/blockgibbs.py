@@ -729,6 +729,148 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
 
 
 # ---------------------------------------------------------------------------
+# int8-resident transposed multi-chain sweep: the X block lives in VMEM in
+# its STORAGE dtype (int8: 4x the n-reach of the f32-cast variant) and is
+# cast to f32 in (C, B) chunks inside the kernel — the grid's automatic
+# double-buffering then overlaps the next block's X DMA with the current
+# block's sequential draws, and X crosses HBM exactly ONCE per iteration
+# (the chunked-DMA variant below reads it twice: r0 pass + delta pass).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mc_ti(spec: GibbsSpec, n: int, B: int, R: int, K: int, C: int,
+                  logpi_ref, P_ref, X_ref, W_ref, yadj_in_ref, u_in_ref,
+                  dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
+                  r_local, dg_s, track_s, xf32):
+    b = pl.program_id(0)
+    nchunks = n // C
+
+    @pl.when(b == 0)
+    def _():
+        yadj_out_ref[:] = yadj_in_ref[:]
+        u_out_ref[:] = u_in_ref[:]
+
+    logpi0 = logpi_ref[:]           # (1, K)
+
+    # pass 1: r0 = X_b' yadj' accumulated over chunked casts (VMEM-local)
+    r_local[:] = jnp.zeros((B, K), F32)
+
+    def p1(c, _):
+        xf32[:] = X_ref[0, pl.ds(c * C, C), :].astype(F32)
+        ya = yadj_out_ref[:, pl.ds(c * C, C)]                 # (K, C)
+        r_local[:] = r_local[:] + jax.lax.dot_general(
+            xf32[:], ya, (((0,), (1,)), ((), ())), preferred_element_type=F32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p1, 0)
+
+    dg_s[:] = jnp.zeros((B, K), F32)
+    track_s[:] = jnp.zeros((B, K), F32)
+    _unrolled_draws(spec, B, K, logpi0, P_ref, W_ref, r_local, dg_s, track_s)
+    dg_out_ref[0] = dg_s[:]
+    track_out_ref[0] = track_s[:]
+
+    # pass 2: yadj += dg' X_b'; u -= (chunked casts again — VMEM reads only)
+    def p2(c, _):
+        xf32[:] = X_ref[0, pl.ds(c * C, C), :].astype(F32)
+        delta = jax.lax.dot_general(
+            dg_s[:], xf32[:], (((0,), (1,)), ((), ())),
+            preferred_element_type=F32,
+        )                                                     # (K, C)
+        yadj_out_ref[:, pl.ds(c * C, C)] = yadj_out_ref[:, pl.ds(c * C, C)] + delta
+        u_out_ref[:, pl.ds(c * C, C)] = u_out_ref[:, pl.ds(c * C, C)] - delta
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, p2, 0)
+
+
+def supports_mc_ti(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bool:
+    if dtype != jnp.float32 or spec.reject_guard or K < 1:
+        return False
+    C = min(_pick_chunk(n) or n, n)
+    if C == 0 or n % C != 0:
+        return False
+    R = 5 if spec.model_index in (3, 4) else (
+        3 + 4 * (spec.n_fold - 1) if spec.model_index == 6 else 4
+    )
+    R_pad = ((R + 7) // 8) * 8
+    vmem = (
+        n * spec.block * geno_itemsize * 2      # double-buffered X block (storage dtype)
+        + C * spec.block * 4                    # chunk cast temp
+        + spec.block * spec.block * 4 * 2       # W
+        + K * n * 4 * 4                         # yadj/u in + out (resident)
+        + spec.block * R_pad * K * 4 * 2        # P blocks
+        + spec.block * K * 4 * 3                # r_local/dg/track
+    )
+    return vmem < 12 * 1024 * 1024
+
+
+def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
+                g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
+                interpret=False):
+    """int8-resident transposed K-chain sweep; same contract as `sweep_mc_t`."""
+    nblocks, n, B = X_blocks.shape
+    m_pad = nblocks * B
+    K = yadj_b.shape[0]
+    C = min(_pick_chunk(n) or n, n)
+
+    def pack_one(consts_k, vei, g, z, uu, chi, vargL):
+        c = dict(consts_k)
+        c["vargL_vec"] = vargL
+        return _pack_rows(spec, c, xpx, vx, vei, g, z, uu, chi)
+
+    P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
+    R = P.shape[1]
+    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
+
+    kern = functools.partial(_kernel_mc_ti, spec, n, B, R, K, C)
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dg, track_f, yadj_o, u_o = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            full((1, K)),
+            pl.BlockSpec((1, B, R, K), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((K, n)),
+            full((K, n)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, B, K), F32),
+            jax.ShapeDtypeStruct((nblocks, B, K), F32),
+            jax.ShapeDtypeStruct((K, n), F32),
+            jax.ShapeDtypeStruct((K, n), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((C, B), F32),
+        ],
+        interpret=interpret,
+    )(
+        logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
+        yadj_b.astype(F32), u_vec_b.astype(F32),
+    )
+
+    dg = dg.transpose(2, 0, 1).reshape(K, m_pad)
+    track = track_f.transpose(2, 0, 1).reshape(K, m_pad).astype(jnp.int32)
+    g_new = g_b.astype(F32) - dg
+    return _phase_c_mc(spec, consts_b, vx, vei_b, g_new, track, u_b, z2_b,
+                       vargL_b, yadj_o, u_o)
+
+
+# ---------------------------------------------------------------------------
 # chunked-n transposed multi-chain sweep: X stays in HBM and streams through
 # VMEM in double-buffered (C, B) chunks — lifts the "X block fits VMEM" limit
 # so large-n cohorts (the 50k x 500k target) keep the fused-kernel speed
@@ -1440,13 +1582,18 @@ def _pack_retry_rows(spec: GibbsSpec, consts, xpx, vx, vei, z_retry):
 
 def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, K: int, n: int,
                     guard: bool,
-                    scal_ref, cols_ref, valid_ref, P_ref, tiles_ref, r_in_ref,
+                    scal_ref, base_ref, cols_ref, valid_ref, P_ref, tiles_ref,
+                    r_in_ref,
                     dg_out_ref, track_out_ref, r_out_ref,
                     r_hat_s, r_loc, dg_s, track_s):
-    i = pl.program_id(0)
+    # row_base: global index of this program's first tile row — nonzero when
+    # the caller sweeps a SHARD of the tile rows against the full r_hat
+    # (SNP-sharded summary sweep); the r_hat state and the scatter columns
+    # are always global.
+    i = pl.program_id(0) + base_ref[0]
     nbr = pl.num_programs(0)
 
-    @pl.when(i == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _():
         r_hat_s[:] = r_in_ref[:]
 
@@ -1509,7 +1656,7 @@ def _kernel_s_tiled(spec: GibbsSpec, B: int, R: int, K: int, n: int,
         cur = r_hat_s[pl.ds(j, 1), :]
         r_hat_s[pl.ds(j, 1), :] = cur + nf32 * vk * upd
 
-    @pl.when(i == nbr - 1)
+    @pl.when(pl.program_id(0) == nbr - 1)
     def _():
         r_out_ref[:] = r_hat_s[:]
 
@@ -1529,43 +1676,51 @@ def supports_s_tiled(spec: GibbsSpec, nbr: int, k_max: int, dtype) -> bool:
 
 
 def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
-                  P_blocks, n: int, interpret=False):
-    """Sweep the whole tiled LD.  tiles (nbr, K, B, B); cols/valid (nbr, K);
-    r_hat (m_pad,); P_blocks (nbr, R, B).  Returns (dg, track, r_hat_new),
-    each (m_pad,)."""
-    nbr, K, B, _ = tiles.shape
+                  P_blocks, n: int, row_base=None, interpret=False):
+    """Sweep tile rows of the tiled LD.  tiles (nbr_loc, K, B, B); cols/valid
+    (nbr_loc, K) with GLOBAL column-block indices; r_hat (m_pad,) — the FULL
+    state; P_blocks (nbr_loc, R, B).  `row_base` (traced scalar ok) is the
+    global index of the first swept tile row: 0 for the single-device sweep
+    (nbr_loc == m_pad/B), shard offset for the SNP-sharded sweep.  Returns
+    (dg, track) over the swept rows, each (nbr_loc*B,), plus the full updated
+    r_hat (m_pad,)."""
+    nbr_loc, K, B, _ = tiles.shape
+    nbr_full = r_hat.shape[0] // B
     R = P_blocks.shape[1]
     guard = bool(spec.reject_guard) and spec.model_index in (4, 6)
     scal = jnp.stack([
         consts["logpi"][0].astype(F32),
         jnp.asarray(spec.vary, F32),
     ])
+    if row_base is None:
+        row_base = jnp.zeros((), jnp.int32)
     kern = functools.partial(_kernel_s_tiled, spec, B, R, K, n, guard)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     dg, track_f, r_new = pl.pallas_call(
         kern,
-        grid=(nbr,),
+        grid=(nbr_loc,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, B, B), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            full((nbr, B)),
+            full((nbr_full, B)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((nbr, B)),
+            full((nbr_full, B)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nbr, 1, B), F32),
-            jax.ShapeDtypeStruct((nbr, 1, B), F32),
-            jax.ShapeDtypeStruct((nbr, B), F32),
+            jax.ShapeDtypeStruct((nbr_loc, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr_loc, 1, B), F32),
+            jax.ShapeDtypeStruct((nbr_full, B), F32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbr, B), F32),
+            pltpu.VMEM((nbr_full, B), F32),
             pltpu.VMEM((1, B), F32),
             pltpu.VMEM((1, B), F32),
             pltpu.VMEM((1, B), F32),
@@ -1573,11 +1728,12 @@ def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
         interpret=interpret,
     )(
         scal,
-        cols.astype(jnp.int32).reshape(nbr, 1, K),
-        valid.astype(jnp.int32).reshape(nbr, 1, K),
+        jnp.asarray(row_base, jnp.int32).reshape(1),
+        cols.astype(jnp.int32).reshape(nbr_loc, 1, K),
+        valid.astype(jnp.int32).reshape(nbr_loc, 1, K),
         P_blocks.astype(F32),
         tiles.astype(F32),
-        r_hat.astype(F32).reshape(nbr, B),
+        r_hat.astype(F32).reshape(nbr_full, B),
     )
-    return (dg.reshape(nbr * B), track_f.reshape(nbr * B).astype(jnp.int32),
-            r_new.reshape(nbr * B))
+    return (dg.reshape(nbr_loc * B), track_f.reshape(nbr_loc * B).astype(jnp.int32),
+            r_new.reshape(nbr_full * B))
