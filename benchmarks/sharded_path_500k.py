@@ -69,14 +69,23 @@ def bench_ibrm(n=16384, m=500_000, block=128, model="BayesR", iters=10):
     # unsharded kernel path
     step_u = jax.jit(partial(G.one_iteration, spec))
     st = jax.block_until_ready(step_u(data, key, st0))
+    st = jax.block_until_ready(step_u(data, key, st))
     t0 = time.time()
     for _ in range(iters):
         st = step_u(data, key, st)
     jax.block_until_ready(st)
     t_u = (time.time() - t0) / iters
 
-    # sharded code path at S=1 (same chip, full turn-loop structure)
+    # sharded code path at S=1 (same chip, full turn-loop structure).
+    # Data/state MUST be device_put with the mesh shardings first (as
+    # run_chain does) — otherwise jit re-lays-out the 8 GB genotype on every
+    # call, which over the tunnel costs seconds/iter and measures transfer,
+    # not the sweep.
+    from hibayes_tpu.parallel.mesh import shard_gibbs_data, shard_state
+
     mesh = make_mesh(1, shape=(1, 1))
+    data_s = shard_gibbs_data(data, mesh)
+    st_s = shard_state(st0, mesh)
 
     def step_s(data, key, state):
         pre = G._pre_sweep(spec, data, key, state)
@@ -88,10 +97,15 @@ def bench_ibrm(n=16384, m=500_000, block=128, model="BayesR", iters=10):
 
     with mesh:
         step_s_j = jax.jit(step_s)
-        st = jax.block_until_ready(step_s_j(data, key, st0))
+        # two threaded warmup calls: the first compile is for shard_state's
+        # placement, the second for the step's own output shardings (the
+        # fixed point the steady-state loop runs at) — timing from the first
+        # output would hide a full recompile inside the loop
+        st = jax.block_until_ready(step_s_j(data_s, key, st_s))
+        st = jax.block_until_ready(step_s_j(data_s, key, st))
         t0 = time.time()
         for _ in range(iters):
-            st = step_s_j(data, key, st)
+            st = step_s_j(data_s, key, st)
         jax.block_until_ready(st)
         t_s = (time.time() - t0) / iters
 
@@ -146,6 +160,7 @@ def bench_sbrm(m=500_000, T=128, K=9, iters=10):
 
     step_u = jax.jit(partial(SG.one_s_iteration, spec))
     st = jax.block_until_ready(step_u(data, key, st0))
+    st = jax.block_until_ready(step_u(data, key, st))
     t0 = time.time()
     for _ in range(iters):
         st = step_u(data, key, st)
@@ -186,12 +201,16 @@ def bench_sbrm(m=500_000, T=128, K=9, iters=10):
         return SG._s_finish(spec, data, k2, state, g_new, track, state.vargL,
                             r_hat, vi, vR)
 
+    from hibayes_tpu.parallel.mesh import shard_sgibbs_data
+
+    data_sh = shard_sgibbs_data(data, mesh)
     with mesh:
         step_s_j = jax.jit(step_s)
-        st = jax.block_until_ready(step_s_j(data, key, st0))
+        st = jax.block_until_ready(step_s_j(data_sh, key, st0))
+        st = jax.block_until_ready(step_s_j(data_sh, key, st))
         t0 = time.time()
         for _ in range(iters):
-            st = step_s_j(data, key, st)
+            st = step_s_j(data_sh, key, st)
         jax.block_until_ready(st)
         t_s = (time.time() - t0) / iters
 

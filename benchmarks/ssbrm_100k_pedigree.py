@@ -5,9 +5,14 @@ Measured (one tunneled v5e chip, 2026-08-20): 1050 s end-to-end for 60
 iterations incl. compile + pedigree processing + imputation; peak host RSS
 3.5 GB; all 100k GEBVs finite.  The dense operators this path avoids would
 need 12.8 GB (A.ng) + 51.2 GB (epsilon A-inverse).
+
+Usage: python benchmarks/ssbrm_100k_pedigree.py [m] — default m=1000; pass
+m=100000 for the combined pedigree-scale x SNP-scale configuration
+(VERDICT r2 item 5: both axes big simultaneously, f32 genotype).
 """
 
 import resource
+import sys
 import time
 
 import numpy as np
@@ -24,7 +29,8 @@ for k in range(nkid):
     sires.append(ids[rng.integers(0, len(ids) - 1)])
     dams.append(ids[rng.integers(0, len(ids) - 1)])
 ids, sires, dams = map(np.array, (ids, sires, dams))
-n_g, m = 20_000, 1000
+n_g = 20_000
+m = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 geno_ids = rng.choice(ids, n_g, replace=False)
 M = rng.binomial(2, 0.35, (n_g, m)).astype(np.int8)
 others = np.setdiff1d(ids, geno_ids)
@@ -38,5 +44,5 @@ fit = SS.ssbrm("y~1", data={"id": phe_ids, "y": y}, M=M, M_id=geno_ids,
                verbose=True, impute="pcg", chunk_cols=512)
 el = time.time() - t0
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-print(f"TOTAL {el:.0f}s, peak RSS {rss:.1f} GB, gebv {len(fit.g['id'])} ids, "
-      f"finite={np.isfinite(fit.g['gebv']).all()}, Veps={fit.Veps:.3f}")
+print(f"m={m}: TOTAL {el:.0f}s, peak RSS {rss:.1f} GB, gebv {len(fit.g['id'])} "
+      f"ids, finite={np.isfinite(fit.g['gebv']).all()}, Veps={fit.Veps:.3f}")

@@ -94,7 +94,11 @@ def ssbrm(
     if pedigree is None:
         raise ValueError("pedigree should be provided for single-step bayesian model.")
 
-    M_values = np.asarray(M.values if hasattr(M, "values") else M, dtype=np.float64)
+    M_raw = M.values if hasattr(M, "values") else M
+    # f64 working copy below 1 GB; f32 at scale (0/1/2 are exact in f32 and
+    # the imputation PCG refines residuals in f64 on host regardless)
+    _mdt = np.float64 if np.asarray(M_raw).size <= (1 << 27) else np.float32
+    M_values = np.asarray(M_raw, dtype=_mdt)
     M_id = np.asarray(M_id).astype(str)
     if len(M_id) != M_values.shape[0]:
         raise ValueError("number of individuals mismatched in 'M' and 'M.id'.")

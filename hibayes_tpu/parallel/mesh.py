@@ -125,18 +125,25 @@ def shard_sgibbs_data(data, mesh: Mesh):
 
 
 def shard_state(state: ChainState, mesh: Mesh) -> ChainState:
-    """Chain state: yadj/u/k_estR follow the individual axis, rest replicated."""
+    """Chain state: yadj/u/k_estR follow the individual axis, rest replicated.
+
+    When the `ind` axis has size 1 the residuals are placed replicated (P())
+    rather than P("ind") — that is the sharding the iteration step itself
+    emits, and matching it keeps threaded state (step output fed back in,
+    e.g. the segmented checkpoint runner) on the SAME jit cache entry
+    instead of triggering a full second compile after the first call."""
 
     def put(x, spec):
         if x is None or (hasattr(x, "size") and x.size == 0):
             return x
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    ind = P("ind") if int(mesh.shape.get("ind", 1)) > 1 else P()
     rep = lambda x: put(x, P())
     return state._replace(
-        yadj=put(state.yadj, P("ind")),
-        u=put(state.u, P("ind")),
-        k_estR=put(state.k_estR, P("ind")) if state.k_estR.size else state.k_estR,
+        yadj=put(state.yadj, ind),
+        u=put(state.u, ind),
+        k_estR=put(state.k_estR, ind) if state.k_estR.size else state.k_estR,
         g=rep(state.g),
         nzrate=rep(state.nzrate),
         track=rep(state.track),

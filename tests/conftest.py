@@ -20,3 +20,20 @@ jax.config.update("jax_platforms", "cpu")
 # Enable x64 so exactness tests (blocked Gibbs vs. sequential oracle) can run
 # at f64 tolerance; production code derives dtype from its inputs and stays f32.
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compile_caches_per_module():
+    """Release compiled executables between modules.
+
+    A single pytest process accumulates hundreds of XLA:CPU compilations
+    (incl. large 8-device shard_map programs); past ~85% of the suite the
+    next backend_compile segfaulted the process (observed in both round-2
+    and round-3 full runs, at different tests — a cumulative compile
+    resource issue, not one bad test).  Dropping jit/lowering caches after
+    each module lets the C++ executables be GC'd and keeps the peak low.
+    """
+    yield
+    jax.clear_caches()

@@ -82,3 +82,16 @@ def test_multichain_pallas_kernel_interpret():
     assert agree.mean() >= 0.99
     scale = np.abs(gx).max() + 1e-12
     np.testing.assert_allclose(gx[agree], gp[agree], rtol=0, atol=5e-5 * scale)
+
+
+def test_multichain_snp_mesh_raises():
+    """run_chains must refuse a (snp>1) mesh loudly instead of silently
+    re-gathering every SNP shard (VERDICT r2 missing #5)."""
+    import pytest
+
+    from hibayes_tpu.parallel.mesh import make_mesh
+
+    data, spec, pr, pi = build(n=64, m=128, B=32)  # 4 blocks: divisible by snp=4
+    mesh = make_mesh(4, shape=(1, 4))
+    with pytest.raises(NotImplementedError, match="SNP-sharded"):
+        G.run_chains(spec, data, pr, pi, seed=5, nchains=2, mesh=mesh)
