@@ -41,7 +41,7 @@ t0 = time.time()
 fit = SS.ssbrm("y~1", data={"id": phe_ids, "y": y}, M=M, M_id=geno_ids,
                pedigree={"id": ids, "sire": sires, "dam": dams},
                method="BayesCpi", niter=60, nburn=30, thin=5,
-               verbose=True, impute="pcg", chunk_cols=512)
+               verbose=True, impute="pcg", chunk_cols=2048)
 el = time.time() - t0
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(f"m={m}: TOTAL {el:.0f}s, peak RSS {rss:.1f} GB, gebv {len(fit.g['id'])} "

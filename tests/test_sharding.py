@@ -153,3 +153,26 @@ def test_ibrm_api_mesh_equality():
     f8 = ht.ibrm("y~1", mesh=make_mesh(8, shape=(2, 4)), **kw)
     np.testing.assert_allclose(f8.Vg, f1.Vg, rtol=1e-8)
     np.testing.assert_allclose(f8.alpha, f1.alpha, atol=1e-10)
+
+
+def test_shard_state_is_sharding_fixed_point():
+    """shard_state must place the chain state exactly as one_iteration emits
+    it, so threaded state (segmented checkpoint runner, benchmark loops)
+    reuses one jit cache entry.  A mismatch costs a full second compile —
+    observed as seconds/call hidden inside a timed loop on real TPU."""
+    from functools import partial
+
+    data, spec, pr, pi = build()
+    for shape in ((1, 1), (8, 1)):
+        mesh = make_mesh(shape[0] * shape[1], shape=shape)
+        d = shard_gibbs_data(data, mesh)
+        st = shard_state(G.init_state(spec, d, pr, pi), mesh)
+        with mesh:
+            step = jax.jit(partial(G.one_iteration, spec, mesh=mesh))
+            out = jax.block_until_ready(step(d, jax.random.PRNGKey(0), st))
+        for name in ("yadj", "u", "g"):
+            s_in = getattr(st, name).sharding
+            s_out = getattr(out, name).sharding
+            assert s_out.is_equivalent_to(s_in, getattr(st, name).ndim), (
+                f"mesh {shape}: {name} in={s_in} out={s_out}"
+            )
