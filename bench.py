@@ -153,13 +153,20 @@ def main():
     nchains = int(os.environ.get("BENCH_CHAINS", 64))
     model = os.environ.get("BENCH_MODEL", "BayesCpi")
 
+    extra = {}
     if nchains > 1:
         ours, elapsed = measure_engine_mc(n, m, block, niter, nchains, model=model)
         label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block}, chains={nchains})"
+        # single-chain vs single-chain alongside the aggregate ratio, so the
+        # artifact is self-honest about what the 10^3x-scale number compares
+        ours_1, _, _ = measure_engine(n, m, block, niter, model=model)
+        extra["single_chain_value"] = round(ours_1, 1)
     else:
         ours, elapsed, iters = measure_engine(n, m, block, niter, model=model)
         label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block})"
     base = measure_reference_emulation(min(n, 4096), min(m, 4096))
+    if "single_chain_value" in extra:
+        extra["single_chain_vs_baseline"] = round(extra["single_chain_value"] / base, 3)
     print(
         json.dumps(
             {
@@ -167,6 +174,7 @@ def main():
                 "value": round(ours, 1),
                 "unit": "SNP-updates/s",
                 "vs_baseline": round(ours / base, 3),
+                **extra,
             }
         )
     )

@@ -201,9 +201,18 @@ def bench_sbrm(m=500_000, T=128, K=9, iters=10):
         return SG._s_finish(spec, data, k2, state, g_new, track, state.vargL,
                             r_hat, vi, vR)
 
+    # shard_sgibbs_data is a no-op at snp<=1, so place the tile arrays with
+    # explicit replicated NamedShardings (mirrors the ibrm path) — otherwise
+    # the timing relies on jit not re-laying-out the 2.3 GB of tiles
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
     from hibayes_tpu.parallel.mesh import shard_sgibbs_data
 
     data_sh = shard_sgibbs_data(data, mesh)
+    if int(mesh.shape.get("snp", 1)) <= 1:
+        rep = lambda x: (jax.device_put(x, NamedSharding(mesh, PS()))
+                         if hasattr(x, "shape") else x)
+        data_sh = jax.tree_util.tree_map(rep, data_sh)
     with mesh:
         step_s_j = jax.jit(step_s)
         st = jax.block_until_ready(step_s_j(data_sh, key, st0))

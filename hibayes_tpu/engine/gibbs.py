@@ -320,31 +320,23 @@ def snp_draw(spec: GibbsSpec, consts, rhs, xx, vxj, vei, g_old, z, uu, chi, z2,
         ok = (vargi > 0) if spec.vargl_strict_pos else (vargi >= 0)
         vargL_new = jnp.where(active & ok, vargi, vargL_old)
     else:  # BayesR multi-fold mixture (src/Bayes.cpp:743-815), unrolled over
-        # the (static) fold count so only scalar ops remain (Pallas-safe)
+        # the (static) fold count so only scalar ops remain (Pallas-safe).
+        # Fold selection is Gumbel-max: ``uu`` carries n_fold uniforms and
+        # argmax_f(s_f + G_f) with G_f = -log(-log(u_f)) draws the exact
+        # categorical — no softmax normalisation/cumsum in the chain.
         nf = spec.n_fold
         lhs = xx / ve
-        s = [consts["logpi"][0]]
+        gum = -jnp.log(-jnp.log(jnp.maximum(uu, 1e-12)))
+        best = consts["logpi"][0] + gum[0]
+        indist = jnp.zeros((), jnp.int32)
         for f in range(1, nf):
             vf = jnp.maximum(consts["vara_fold"][f], 1e-30)
             logdetV = jnp.log(vf * lhs + 1.0)
             uhat = rhs / (xx + ve / vf)
-            s.append(-0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"][f])
-        smax = s[0]
-        for f in range(1, nf):
-            smax = jnp.maximum(smax, s[f])
-        es = [jnp.exp(sf - smax) for sf in s]
-        tot = es[0]
-        for f in range(1, nf):
-            tot = tot + es[f]
-        # first fold whose cumulative softmax exceeds uu (0 if none)
-        indist = jnp.zeros((), jnp.int32)
-        chosen = jnp.zeros((), bool)
-        acc = zero
-        for f in range(nf):
-            acc = acc + es[f] / tot
-            newly = (~chosen) & (uu < acc)
-            indist = jnp.where(newly, f, indist)
-            chosen = chosen | newly
+            sf = -0.5 * (logdetV - rhs * uhat / ve) + consts["logpi"][f] + gum[f]
+            sel = sf > best
+            best = jnp.maximum(sf, best)
+            indist = jnp.where(sel, f, indist)
         indist = jnp.where(active, indist, 0)
         # gather vara_fold[indist] / fold[indist] via unrolled selects
         vfold = zero
@@ -839,7 +831,12 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
     m_pad, B = spec.m_pad, spec.block
     mi = spec.model_index
     z_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
-    if mi in (3, 4, 5, 6) or spec.reject_guard:
+    if mi == 6:
+        # BayesR Gumbel-max fold selection: n_fold uniforms per SNP
+        u_snp = jax.random.uniform(
+            jax.random.fold_in(key, STREAM_SNP_U), (m_pad, spec.n_fold), dtype=dt
+        )
+    elif mi in (3, 4, 5) or spec.reject_guard:
         u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
     else:
         u_snp = jnp.full((m_pad,), 0.5, dt)
@@ -905,7 +902,8 @@ def _sweep_xla(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g, vargL_in,
         return (yadj, u, vargi_acc, vargR_acc), (g_new_b, track_b, vargL_new_b)
 
     def rs(x):
-        return x.reshape(spec.nblocks, B)
+        # trailing dims (e.g. BayesR's (m_pad, n_fold) uniforms) ride along
+        return x.reshape(spec.nblocks, B, *x.shape[1:])
 
     (yadj, u, vargi_acc, vargR_acc), (g_new, track, vargL_new) = jax.lax.scan(
         block_body,
@@ -1013,109 +1011,139 @@ def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
 
 def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
                        vargL_in, yadj, u, mesh):
-    """Exact SNP-axis model-parallel sweep (SURVEY §2.3 P3 / §7 hard part 1;
-    reference hot loop: src/Bayes.cpp:586-816).
+    """Single-chain SNP-sharded sweep: the K=1 slice of
+    :func:`_sweep_snp_sharded_mc` (add/strip the chain axis)."""
+    consts_b = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], consts)
+    out = _sweep_snp_sharded_mc(
+        spec, data, consts_b, tuple(r[None] for r in rnd), vei[None], g[None],
+        vargL_in[None], yadj[None], u[None], mesh,
+    )
+    return tuple(o[0] for o in out)
+
+
+def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
+                          vei_b, g_b, vargL_b, yadj_b, u_vec_b, mesh):
+    """Exact SNP-axis model-parallel sweep for K chains (SURVEY §2.3 P3/P4;
+    reference hot loop: src/Bayes.cpp:586-816 — the reference runs one chain
+    on one process; this composes m-MP with multi-chain batching).
 
     Each device owns a contiguous run of SNP blocks — the X/W block shards
     live only in its HBM, which is what makes 50k x 500k (25 GB int8) fit an
     8-chip slice.  The single-device block ORDER is preserved exactly by
-    sweeping shards in turn: shard s runs its local block scan while the
-    others skip (lax.cond), then the yadj/u deltas are merged into every
-    replica with one psum over the `snp` mesh axis (the residual-correction
-    merge over ICI).  Same Markov kernel as the single-device sweep; the
-    n axis may be sharded simultaneously (psum over `ind` inside the turn).
+    sweeping shards in turn: shard s runs its local block scan for ALL K
+    chains while the others skip (lax.cond), then the (K, n) yadj/u deltas
+    are merged into every replica with one psum over the `snp` mesh axis
+    (the residual-correction merge over ICI).  Same Markov kernel per chain
+    as the single-device sweep; the n axis may be sharded simultaneously
+    (psum over `ind` inside the turn).
 
     The shard-local sweep runs at kernel speed: pure m-MP meshes call the
-    monolithic fused Pallas sweep on the local X/W blocks (pallas inside
-    shard_map sees shard-local shapes — no partitioning-rule hazard); 2-D
-    meshes (m-MP x n-DP) use the per-block hybrid (psum'd r0 + the (B, K=1)
-    Pallas draw kernel).  Unsupported configurations (f64, rejection guard)
-    fall back to the per-SNP XLA scan.
+    fused multi-chain Pallas sweeps on the local X/W blocks (chains on
+    lanes; pallas inside shard_map sees shard-local shapes — no
+    partitioning-rule hazard); 2-D meshes (m-MP x n-DP) use the per-block
+    hybrid (psum'd r0 + the (B, K) Pallas draw kernel).  Unsupported
+    configurations (f64, rejection guard) fall back to the per-SNP XLA scan
+    vmapped over chains.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     from ..ops import blockgibbs
 
-    dt = yadj.dtype
+    dt = yadj_b.dtype
     B = spec.block
     nb = spec.nblocks
+    K = yadj_b.shape[0]
     has_ind = int(mesh.shape.get("ind", 1)) > 1
     S = int(mesh.shape["snp"])
     interp = jax.default_backend() == "cpu"
     itemsize = data.X_blocks.dtype.itemsize
-    z_snp, u_snp, chi_snp, z2_snp = rnd
-    rs = lambda x: x.reshape(nb, B)
-    pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
-          rs(chi_snp), rs(z2_snp), rs(vargL_in), rs(jnp.arange(spec.m_pad)))
+    z_b, u_b, chi_b, z2_b = rnd_b
+    # shared per-SNP rows: (m_pad,) -> (nb, B); per-chain rows:
+    # (K, m_pad[, nf]) -> (K, nb, B[, nf]) so dim 1 shards over `snp`
+    rs = lambda x: x.reshape(nb, B, *x.shape[1:])
+    rsk = lambda x: x.reshape(x.shape[0], nb, B, *x.shape[2:])
+    pvs = (rs(data.xpx), rs(data.vx), rs(jnp.arange(spec.m_pad)))
+    pvk = (rsk(vei_b), rsk(g_b), rsk(z_b), rsk(u_b), rsk(chi_b), rsk(z2_b),
+           rsk(vargL_b))
 
     # static selection of the shard-local sweep engine
     mc_fn = (None if has_ind
-             else _select_sweep_mc(spec, spec.n, 1, dt, itemsize, interp))
+             else _select_sweep_mc(spec, spec.n, K, dt, itemsize, interp))
     use_hybrid = (mc_fn is None and spec.use_pallas
                   and hybrid_draws_supported(spec, dt))
 
-    def body(X, W, pvt, yadj, u, consts):
-        xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb = pvt
+    def body(X, W, pvst, pvkt, yadj, u, consts):
+        xpx_b, vx_b, gidxb = pvst
         sidx = jax.lax.axis_index("snp")
         nb_loc = X.shape[0]
-        flat = lambda x: x.reshape(-1)
+        m_loc = nb_loc * B
+        flat = lambda x: x.reshape(-1, *x.shape[2:])
+        flatk = lambda x: x.reshape(x.shape[0], -1, *x.shape[3:])
+        vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l = (flatk(a) for a in pvkt)
+        xpx_l, vx_l, gidx_l = flat(xpx_b), flat(vx_b), flat(gidxb)
 
         if use_hybrid:
-            c_pack = dict(consts)
-            c_pack["vargL_vec"] = flat(vargLb)
-            P_loc = blockgibbs._pack_rows(
-                spec, c_pack, flat(xpx_b), flat(vx_b), flat(vei_b),
-                flat(g_b), flat(zb), flat(ub), flat(chib),
-            )
-            R = P_loc.shape[0]
-            P_blocks = P_loc.reshape(R, nb_loc, B).transpose(1, 2, 0)[..., None]
-            logpi_row = consts["logpi"][0].astype(jnp.float32).reshape(1, 1)
+            def pack_one(consts_k, vei, gg, z, uu, chi, vargL):
+                c = dict(consts_k)
+                c["vargL_vec"] = vargL
+                return blockgibbs._pack_rows(
+                    spec, c, xpx_l, vx_l, vei, gg, z, uu, chi)
+
+            P_loc = jax.vmap(pack_one)(
+                consts, vei_l, g_l, z_l, u_l, chi_l, vargL_l)
+            R = P_loc.shape[1]
+            P_blocks = P_loc.reshape(K, R, nb_loc, B).transpose(2, 3, 1, 0)
+            logpi_row = consts["logpi"][:, 0].astype(jnp.float32).reshape(1, K)
 
         if mc_fn is not None:
             def local_sweep(args):
                 yadj, u = args
-                out = _run_sweep_k1(
-                    mc_fn, spec, consts, X, W, flat(xpx_b), flat(vx_b),
-                    flat(vei_b), flat(g_b),
-                    (flat(zb), flat(ub), flat(chib), flat(z2b)),
-                    flat(vargLb), yadj, u,
+                out = mc_fn(
+                    spec, consts, X, W, xpx_l, vx_l, vei_l, g_l,
+                    z_l, u_l, chi_l, z2_l, vargL_l, yadj, u,
                 )
                 g_new, track, vargL_new, ya2, u2, vargi, vargR = out
-                return (ya2, u2, vargi, vargR, g_new.reshape(nb_loc, B),
-                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B))
+                return ya2, u2, vargi, vargR, g_new, track, vargL_new
         elif use_hybrid:
             def local_sweep(args):
                 yadj, u = args
 
                 def block_body(carry, xs):
                     ya, uu = carry
-                    Xb, Wb, P_b, g_row = xs
+                    Xb, Wb, P_b = xs
                     Xl = Xb.astype(dt)
-                    r0 = jnp.matmul(Xl.T, ya, precision=HIGHEST)
+                    r0 = jax.lax.dot_general(
+                        Xl, ya, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (B, K)
                     if has_ind:
                         r0 = jax.lax.psum(r0, "ind")
                     dg, track_b = blockgibbs._s_block_draws(
-                        spec, logpi_row, P_b, Wb.astype(jnp.float32),
-                        r0.reshape(B, 1), interpret=interp,
+                        spec, logpi_row, P_b, Wb.astype(jnp.float32), r0,
+                        interpret=interp,
                     )
-                    dgv = dg[:, 0]
-                    delta = jnp.matmul(Xl, dgv, precision=HIGHEST)
-                    return (ya + delta, uu - delta), (
-                        g_row - dgv, track_b[:, 0].astype(jnp.int32))
+                    delta = jax.lax.dot_general(
+                        dg, Xl, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (K, n_loc)
+                    return (ya + delta, uu - delta), (dg, track_b)
 
-                (ya2, u2), (gn, tr) = jax.lax.scan(
-                    block_body, (yadj, u), (X, W, P_blocks, g_b))
-                out = blockgibbs._phase_c(
-                    spec, c_pack, flat(vx_b), flat(vei_b), flat(gn), flat(tr),
-                    flat(ub), flat(z2b), flat(vargLb), ya2, u2,
+                (ya2, u2), (dgs, tracks) = jax.lax.scan(
+                    block_body, (yadj, u), (X, W, P_blocks))
+                dg = dgs.transpose(2, 0, 1).reshape(K, m_loc)
+                track = tracks.transpose(2, 0, 1).reshape(K, m_loc)
+                g_new = g_l.astype(jnp.float32) - dg
+                out = blockgibbs._phase_c_mc(
+                    spec, consts, vx_l, vei_l, g_new, track.astype(jnp.int32),
+                    u_l, z2_l, vargL_l, ya2, u2,
                 )
                 g_new, track, vargL_new, ya2, u2, vargi, vargR = out
-                return (ya2, u2, vargi, vargR, g_new.reshape(nb_loc, B),
-                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B))
+                return ya2, u2, vargi, vargR, g_new, track, vargL_new
         else:
-            def local_sweep(args):
-                yadj, u = args
+            def one_chain(consts_k, vei_c, g_c, z_c, u_c, chi_c, z2_c,
+                          vargL_c, yadj_c, u_vec_c):
+                rb = lambda x: x.reshape(nb_loc, B, *x.shape[1:])
 
                 def block_body(carry, xs):
                     yadj, u, vargi, vargR = carry
@@ -1125,10 +1153,10 @@ def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
                     if has_ind:
                         r0 = jax.lax.psum(r0, "ind")
                     (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
-                        partial(_snp_scan_step, spec, consts),
+                        partial(_snp_scan_step, spec, consts_k),
                         (r0, vargi, vargR),
-                        (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj, uj,
-                         chij, z2j, vLj),
+                        (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj,
+                         uj, chij, z2j, vLj),
                     )
                     dg = gj - g_new_b
                     delta = jnp.matmul(Xl, dg, precision=HIGHEST)
@@ -1136,15 +1164,26 @@ def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
                         g_new_b, track_b, vargL_new_b)
 
                 (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
-                    block_body, (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt)),
-                    (X, W, xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargLb, gidxb),
+                    block_body,
+                    (yadj_c, u_vec_c, jnp.zeros((), dt), jnp.zeros((), dt)),
+                    (X, W, xpx_b, vx_b, rb(vei_c), rb(g_c), rb(z_c), rb(u_c),
+                     rb(chi_c), rb(z2_c), rb(vargL_c), gidxb),
                 )
-                return ya2, u2, vargi, vargR, gn, tr, vl
+                return (ya2, u2, vargi, vargR, gn.reshape(m_loc),
+                        tr.reshape(m_loc), vl.reshape(m_loc))
+
+            def local_sweep(args):
+                yadj, u = args
+                return jax.vmap(one_chain)(
+                    consts, vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l,
+                    yadj, u,
+                )
 
         def skip(args):
             yadj, u = args
-            return (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt),
-                    g_b, jnp.zeros((nb_loc, B), jnp.int32), vargLb)
+            return (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
+                    g_l.astype(dt), jnp.zeros((K, m_loc), jnp.int32),
+                    vargL_l.astype(dt))
 
         def turn(carry, s):
             yadj, u, vargi_t, vargR_t, g_cur, tr_cur, vl_cur = carry
@@ -1154,35 +1193,38 @@ def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
             # merge this shard's residual corrections into every replica
             yadj = yadj + jax.lax.psum(ya2 - yadj, "snp")
             u = u + jax.lax.psum(u2 - u, "snp")
-            g_cur = jnp.where(act, gn, g_cur)
-            tr_cur = jnp.where(act, tr, tr_cur)
-            vl_cur = jnp.where(act, vl, vl_cur)
-            return (yadj, u, vargi_t + vargi, vargR_t + vargR,
-                    g_cur, tr_cur, vl_cur), None
+            g_cur = jnp.where(act, gn.astype(dt), g_cur)
+            tr_cur = jnp.where(act, tr.astype(jnp.int32), tr_cur)
+            vl_cur = jnp.where(act, vl.astype(dt), vl_cur)
+            return (yadj, u, vargi_t + vargi.astype(dt),
+                    vargR_t + vargR.astype(dt), g_cur, tr_cur, vl_cur), None
 
-        init = (yadj, u, jnp.zeros((), dt), jnp.zeros((), dt),
-                g_b, jnp.zeros((nb_loc, B), jnp.int32), vargLb)
+        init = (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
+                g_l.astype(dt), jnp.zeros((K, m_loc), jnp.int32),
+                vargL_l.astype(dt))
         (yadj, u, vargi, vargR, g_new, track, vargL_new), _ = jax.lax.scan(
             turn, init, jnp.arange(S))
         vargi = jax.lax.psum(vargi, "snp")
         vargR = jax.lax.psum(vargR, "snp")
-        return g_new, track, vargL_new, yadj, u, vargi, vargR
+        return (g_new.reshape(K, nb_loc, B), track.reshape(K, nb_loc, B),
+                vargL_new.reshape(K, nb_loc, B), yadj, u, vargi, vargR)
 
-    ind_spec = PS("ind") if has_ind else PS()
-    pv_spec = tuple(PS("snp", None) for _ in pv)
-    consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts)
+    ind_spec = PS(None, "ind") if has_ind else PS()
+    pvs_spec = tuple(PS("snp", *([None] * (x.ndim - 1))) for x in pvs)
+    pvk_spec = tuple(PS(None, "snp", *([None] * (x.ndim - 2))) for x in pvk)
+    consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts_b)
     out = shard_map(
         body, mesh=mesh,
         in_specs=(PS("snp", "ind" if has_ind else None, None),
-                  PS("snp", None, None), pv_spec, ind_spec, ind_spec,
-                  consts_spec),
-        out_specs=(PS("snp", None), PS("snp", None), PS("snp", None),
-                   ind_spec, ind_spec, PS(), PS()),
+                  PS("snp", None, None), pvs_spec, pvk_spec, ind_spec,
+                  ind_spec, consts_spec),
+        out_specs=(PS(None, "snp", None), PS(None, "snp", None),
+                   PS(None, "snp", None), ind_spec, ind_spec, PS(), PS()),
         check_vma=False,
-    )(data.X_blocks, data.W_blocks, pv, yadj, u, consts)
-    g_new, track, vargL_new, yadj, u, vargi, vargR = out
-    return (g_new.reshape(spec.m_pad), track.reshape(spec.m_pad),
-            vargL_new.reshape(spec.m_pad), yadj, u, vargi, vargR)
+    )(data.X_blocks, data.W_blocks, pvs, pvk, yadj_b, u_vec_b, consts_b)
+    g_new, track, vargL_new, yadj_b, u_vec_b, vargi, vargR = out
+    return (g_new.reshape(K, spec.m_pad), track.reshape(K, spec.m_pad),
+            vargL_new.reshape(K, spec.m_pad), yadj_b, u_vec_b, vargi, vargR)
 
 
 def _recompute_residuals(spec: GibbsSpec, data: GibbsData, mu, beta, estR,
@@ -1733,7 +1775,9 @@ def _concat_samples(parts):
 
 
 def _print_progress(spec, state, eta_str):
-    nnz = int(np.sum((np.asarray(state.track) > 0)))
+    # reduce on device: np.asarray(track) would ship the full m-length vector
+    # across the host link on every progress row (real cost at m-MP scale)
+    nnz = int(jnp.sum(state.track > 0))
     if spec.model_index in (1, 2, 5):
         nnz = spec.m - spec.nvar0
     pi_str = " ".join(f"{p:.4f}" for p in np.asarray(state.pi))
@@ -1811,8 +1855,9 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
     M=K on the MXU and the draws run on (K,1) sublane vectors), else the
     vmapped XLA sweep.  Under an ind-sharded mesh the monolithic kernels are
     skipped (no GSPMD rule -> full-genotype gather) in favour of the
-    shard_map-wrapped per-block hybrid; SNP-sharded meshes are rejected in
-    run_chains."""
+    shard_map-wrapped per-block hybrid; under an SNP-sharded mesh the sweep
+    runs the turn-based shard schedule with all K chains per turn
+    (_sweep_snp_sharded_mc) — m-MP composes with multi-chain batching."""
     dt = data.y.dtype
     keys = jax.vmap(lambda k, it: jax.random.fold_in(k, it))(chain_keys, states.it)
     pre = jax.vmap(lambda k, s: _pre_sweep(spec, data, k, s))(keys, states)
@@ -1820,6 +1865,14 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
 
     itemsize = data.X_blocks.dtype.itemsize
     interp = jax.default_backend() == "cpu"
+    if snp_shard_count(spec.nblocks, mesh) > 1:
+        # m-MP x multi-chain: turn-based shard schedule with all K chains
+        # swept per turn (fused multi-chain kernels shard-locally)
+        sweep_out = _sweep_snp_sharded_mc(
+            spec, data, pre["consts"], pre["rnd"], pre["vei"], states.g,
+            pre["vargL_in"], pre["yadj"], pre["u"], mesh,
+        )
+        return _post_sweep_batch(spec, data, keys, states, pre, sweep_out)
     ind_sharded = ind_shard_count(mesh) > 1
     sweep_fn = None
     if ind_sharded:
@@ -1840,6 +1893,13 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
         )(pre["consts"], pre["rnd"], pre["vei"], states.g, pre["vargL_in"],
           pre["yadj"], pre["u"])
 
+    return _post_sweep_batch(spec, data, keys, states, pre, sweep_out)
+
+
+def _post_sweep_batch(spec: GibbsSpec, data: GibbsData, keys, states, pre,
+                      sweep_out):
+    """Vmapped post-sweep + scalar-predicate drift resync for K chains."""
+    dt = data.y.dtype
     new_states = jax.vmap(
         lambda k, s, p, so: _post_sweep(spec, data, k, s, p, so, inline_resync=False)
     )(keys, states, pre, sweep_out)
@@ -1900,15 +1960,6 @@ def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
     if mesh is not None:
         from ..parallel.mesh import shard_gibbs_data
 
-        if snp_shard_count(spec.nblocks, mesh) > 1:
-            # A (snp>1) mesh with nchains>1 would silently re-gather every
-            # SNP shard (one_iteration_batch has no turn-based snp branch),
-            # defeating the memory purpose of m-MP.  Refuse loudly.
-            raise NotImplementedError(
-                "multi-chain x SNP-sharded mesh is not supported: run "
-                "nchains=1 with the snp mesh (run_chain), or use an "
-                "ind-only mesh for multi-chain execution."
-            )
         data = shard_gibbs_data(data, mesh)
         with mesh:
             states, samples = _run_all_multi(spec, data, chain_keys, states0, mesh)

@@ -200,7 +200,12 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key,
     # without changing the consumed ones (same policy as gibbs._pre_sweep)
     mi = spec.model_index
     z_snp = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
-    if mi in (3, 4, 5, 6) or spec.reject_guard:
+    if mi == 6:
+        # BayesR Gumbel-max fold selection: n_fold uniforms per SNP
+        u_snp = jax.random.uniform(
+            jax.random.fold_in(key, STREAM_SNP_U), (m_pad, spec.n_fold), dtype=dt
+        )
+    elif mi in (3, 4, 5) or spec.reject_guard:
         u_snp = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
     else:
         u_snp = jnp.full((m_pad,), 0.5, dt)
@@ -313,11 +318,12 @@ def one_s_iteration(spec: GibbsSpec, data: SGibbsData, base_key,
     for seg_i, mc in enumerate(spec.seg_sizes):
         LDs = data.ld_segs[seg_i]
         nblocks = mc // B
-        sl = lambda x: jax.lax.dynamic_slice(x, (off,), (mc,))
+        sl = lambda x: jax.lax.dynamic_slice(
+            x, (off,) + (0,) * (x.ndim - 1), (mc,) + x.shape[1:])
         r_seg = sl(r_hat)
 
         def rsseg(x):
-            return sl(x).reshape(nblocks, B)
+            return sl(x).reshape(nblocks, B, *x.shape[1:])
 
         def block_body(carry, xs):
             r_seg, vargi_acc, vargR_acc = carry
@@ -449,7 +455,7 @@ def _tiled_sweep(spec: GibbsSpec, consts, data: SGibbsData, vei, g, vargL_full,
     B = spec.block
     m_pad = spec.m_pad
     nbr = m_pad // B
-    rs = lambda x: x.reshape(nbr, B)
+    rs = lambda x: x.reshape(nbr, B, *x.shape[1:])
     pv_rows = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp),
                rs(u_snp), rs(chi_snp), rs(z2_snp), rs(vargL_full),
                rs(jnp.arange(m_pad)))
@@ -494,7 +500,7 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
     use_kernel = (spec.use_pallas
                   and blockgibbs.supports_s_tiled(spec, nbr, k_max, dt))
     guard = bool(spec.reject_guard) and spec.model_index in (4, 6)
-    rs = lambda x: x.reshape(nbr, B)
+    rs = lambda x: x.reshape(nbr, B, *x.shape[1:])
     pv = (rs(data.xpx), rs(data.vx), rs(vei), rs(g), rs(z_snp), rs(u_snp),
           rs(chi_snp), rs(z2_snp), rs(vargL_full), rs(jnp.arange(m_pad)))
 
@@ -513,7 +519,7 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
         row_base = sidx * nb_loc
         row_ids = row_base + jnp.arange(nb_loc)
         xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargL_b, gidxb = pvt
-        flat = lambda x: x.reshape(-1)
+        flat = lambda x: x.reshape(-1, *x.shape[2:])
 
         if use_kernel:
             c_pack = dict(consts)
@@ -574,7 +580,7 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
         return (g_new, track, vargL_new, r_hat,
                 jax.lax.psum(vi, "snp"), jax.lax.psum(vR, "snp"))
 
-    pv_spec = tuple(PS("snp", None) for _ in pv)
+    pv_spec = tuple(PS("snp", *([None] * (x.ndim - 1))) for x in pv)
     consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts)
     g_new, track, vargL_new, r_hat, vargi, vargR = shard_map(
         body, mesh=mesh,
@@ -699,7 +705,11 @@ def one_s_iteration_batch(spec: GibbsSpec, data: SGibbsData, chain_keys, states)
 
     def pre_one(key, state):
         z = jax.random.normal(jax.random.fold_in(key, STREAM_SNP_Z), (m_pad,), dtype=dt)
-        if mi in (3, 4, 5, 6) or spec.reject_guard:
+        if mi == 6:
+            u = jax.random.uniform(
+                jax.random.fold_in(key, STREAM_SNP_U), (m_pad, spec.n_fold), dtype=dt
+            )
+        elif mi in (3, 4, 5) or spec.reject_guard:
             u = jax.random.uniform(jax.random.fold_in(key, STREAM_SNP_U), (m_pad,), dtype=dt)
         else:
             u = jnp.full((m_pad,), 0.5, dt)

@@ -94,11 +94,16 @@ def ssbrm(
     if pedigree is None:
         raise ValueError("pedigree should be provided for single-step bayesian model.")
 
-    M_raw = M.values if hasattr(M, "values") else M
+    M_raw = np.asarray(M.values if hasattr(M, "values") else M)
     # f64 working copy below 1 GB; f32 at scale (0/1/2 are exact in f32 and
-    # the imputation PCG refines residuals in f64 on host regardless)
-    _mdt = np.float64 if np.asarray(M_raw).size <= (1 << 27) else np.float32
-    M_values = np.asarray(M_raw, dtype=_mdt)
+    # the imputation PCG refines residuals in f64 on host regardless) — but
+    # an explicit dtype=f64 request wins: non-integer (imputed-dosage) input
+    # must not be silently rounded when the caller asked for f64
+    if dtype == jnp.float64:
+        _mdt = np.float64
+    else:
+        _mdt = np.float64 if M_raw.size <= (1 << 27) else np.float32
+    M_values = M_raw.astype(_mdt, copy=False)
     M_id = np.asarray(M_id).astype(str)
     if len(M_id) != M_values.shape[0]:
         raise ValueError("number of individuals mismatched in 'M' and 'M.id'.")

@@ -20,9 +20,11 @@ depends only on per-SNP inputs known before the sweep.  So:
      *next* sweep), variance accumulators, g_new = g_old - dg.
 
 Per sequential step only ~6 scalar flops + two masked lane reduces + one
-(1,B) axpy remain — no transcendentals for RR/A/B/C/L; BayesR pays
-(n_fold-1) exps.  Scalar operands are packed into one (R,B) tile so a single
-masked reduce extracts all of them at once.
+(1,B) axpy remain — no transcendentals for ANY model: BayesR's categorical
+fold draw uses Gumbel-max (argmax_f of A_f + B_f rhs^2 with the Gumbel noise
+precomputed into A_f by phase A), which is distribution-identical to the
+inverse-CDF draw but exp-free in the chain.  Scalar operands are packed into
+one (R,B) tile so a single masked reduce extracts all of them at once.
 
 The XLA scan path (engine/gibbs.py) remains the reference implementation;
 tests/test_pallas_kernel.py checks both produce the same chain.
@@ -46,7 +48,10 @@ POS_BIG = 1e30
 
 def _pack_rows(spec: GibbsSpec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp):
     """Phase A: per-SNP coefficient rows, shape (R, m_pad).  Row order:
-    [rg, g_old, inv_v, sz, (thresh | per-fold A/B/inv_v/sz..., u)]"""
+    [rg, g_old, inv_v, sz, (thresh | per-fold A/B/inv_v/sz..., A0)].
+    For BayesR ``u_snp`` carries (m_pad, n_fold) uniforms — one per fold —
+    transformed to Gumbel noise and folded into the A rows (Gumbel-max
+    categorical); other models consume the usual (m_pad,) uniform."""
     mi = spec.model_index
     dt = F32
     x = xpx.astype(dt)
@@ -89,18 +94,26 @@ def _pack_rows(spec: GibbsSpec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp):
         inv_v = jnp.where(act, 1.0 / v, 0.0)
         sz = jnp.where(act, jnp.sqrt(ve / v) * z_snp.astype(dt), 0.0)
         rows = [rg, g, inv_v, sz]
-    else:  # BayesR
+    else:  # BayesR — Gumbel-max categorical fold draw.  The fold logits are
+        # s_f = A_f + B_f rhs^2 (exact rewrite of src/Bayes.cpp:747-766); the
+        # categorical draw argmax_f(s_f + G_f) with iid Gumbel noise G_f is
+        # distribution-identical to the inverse-CDF draw but needs NO
+        # exp/normalise/cumsum in the sequential chain — the Gumbels fold
+        # into A_f here in phase A, the per-draw work is n_fold FMAs+compares.
+        uu = jnp.maximum(u_snp.astype(dt), 1e-12)       # (m_pad, n_fold)
+        gum = -jnp.log(-jnp.log(uu))
         rows = [rg, g]
         for f in range(1, spec.n_fold):
             vara_f = jnp.maximum(consts["vara_fold"][f], 1e-30).astype(dt)
             vf = x + ve / vara_f
             A_f = -0.5 * jnp.log(vara_f * x / ve + 1.0) + consts["logpi"][f]
+            A_f = A_f + gum[:, f]
             A_f = jnp.where(act, A_f, NEG_BIG)
             B_f = 0.5 / (vf * ve)
             ivf = jnp.where(act, 1.0 / vf, 0.0)
             szf = jnp.where(act, jnp.sqrt(ve / vf) * z_snp.astype(dt), 0.0)
             rows += [A_f, B_f, ivf, szf]
-        rows.append(u_snp.astype(dt))
+        rows.append(consts["logpi"][0] + gum[:, 0])     # fold-0 gumbel logit
     return jnp.stack(rows).astype(dt)  # (R, m_pad)
 
 
@@ -334,31 +347,17 @@ def _kernel_mc(spec: GibbsSpec, n: int, B: int, R: int, K: int,
             gi = rhs * vals(2) + vals(3)
             gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
             gi = jnp.where(vals(2) > 0, gi, 0.0)
-        else:  # BayesR
+        else:  # BayesR — Gumbel-max fold selection (noise folded into A rows)
             q = rhs * rhs
-            s = [logpi0]
-            for f in range(1, nf):
-                s.append(vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q)
-            smax = s[0]
-            for f in range(1, nf):
-                smax = jnp.maximum(smax, s[f])
-            es = [jnp.exp(sf - smax) for sf in s]
-            tot = es[0]
-            for f in range(1, nf):
-                tot = tot + es[f]
-            uu = vals(2 + 4 * (nf - 1))
+            best = vals(2 + 4 * (nf - 1))   # fold-0 gumbel logit row
             ind = jnp.zeros((K, 1), jnp.int32)
-            chosen = jnp.zeros((K, 1), bool)
-            acc = jnp.zeros((K, 1), F32)
-            for f in range(nf):
-                acc = acc + es[f] / tot
-                newly = (~chosen) & (uu < acc)
-                ind = jnp.where(newly, f, ind)
-                chosen = chosen | newly
             ivf = jnp.zeros((K, 1), F32)
             szf = jnp.zeros((K, 1), F32)
             for f in range(1, nf):
-                sel = ind == f
+                sf = vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q
+                sel = sf > best
+                best = jnp.maximum(sf, best)
+                ind = jnp.where(sel, f, ind)
                 ivf = jnp.where(sel, vals(4 + 4 * (f - 1)), ivf)
                 szf = jnp.where(sel, vals(5 + 4 * (f - 1)), szf)
             gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
@@ -519,31 +518,20 @@ def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
         gi = jnp.where(jnp.abs(gi) < 1e-6, jnp.float32(1e-6), gi)
         gi = jnp.where(vals(2) > 0, gi, 0.0)
         return gi, None
-    # BayesR
+    # BayesR: Gumbel-max fold selection — the Gumbel noise is already folded
+    # into the A rows by _pack_rows, so the fold draw is argmax_f(A_f+B_f q),
+    # a chain of FMAs and compares with NO transcendentals (the old
+    # exp/normalise/cumsum inverse-CDF draw cost ~2.4x BayesCpi per draw).
     q = rhs * rhs
-    s = [logpi0 + 0.0 * rhs]
-    for f in range(1, nf):
-        s.append(vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q)
-    smax = s[0]
-    for f in range(1, nf):
-        smax = jnp.maximum(smax, s[f])
-    es = [jnp.exp(sf - smax) for sf in s]
-    tot = es[0]
-    for f in range(1, nf):
-        tot = tot + es[f]
-    uu = vals(2 + 4 * (nf - 1))
+    best = vals(2 + 4 * (nf - 1)) + 0.0 * rhs   # fold-0 gumbel logit row
     ind = jnp.zeros_like(rhs, dtype=jnp.int32)
-    chosen = jnp.zeros_like(rhs, dtype=bool)
-    acc = jnp.zeros_like(rhs)
-    for f in range(nf):
-        acc = acc + es[f] / tot
-        newly = (~chosen) & (uu < acc)
-        ind = jnp.where(newly, f, ind)
-        chosen = chosen | newly
     ivf = jnp.zeros_like(rhs)
     szf = jnp.zeros_like(rhs)
     for f in range(1, nf):
-        sel = ind == f
+        sf = vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q
+        sel = sf > best
+        best = jnp.maximum(sf, best)
+        ind = jnp.where(sel, f, ind)
         ivf = jnp.where(sel, vals(4 + 4 * (f - 1)), ivf)
         szf = jnp.where(sel, vals(5 + 4 * (f - 1)), szf)
     gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
@@ -1552,7 +1540,7 @@ def _guard_base(spec: GibbsSpec) -> int:
         return 4
     if mi in (3, 4):
         return 5
-    return 2 + 4 * (spec.n_fold - 1) + 1  # BayesR: [rg,g, (A,B,iv,sz)*, u]
+    return 2 + 4 * (spec.n_fold - 1) + 1  # BayesR: [rg,g, (A,B,iv,sz)*, A0]
 
 
 def _pack_retry_rows(spec: GibbsSpec, consts, xpx, vx, vei, z_retry):

@@ -91,9 +91,11 @@ def oracle_iteration(spec, dnp, base_key, st):
         st["vr"][i] = np.var(new, ddof=1)
         st["estR"][i] = new
 
-    # pre-generated per-SNP randoms (same streams as the engine)
+    # pre-generated per-SNP randoms (same streams as the engine); BayesR uses
+    # n_fold uniforms per SNP for the Gumbel-max categorical fold draw
     z_snp = _norm(jax.random.fold_in(key, G.STREAM_SNP_Z), (m_pad,))
-    u_snp = _unif(jax.random.fold_in(key, G.STREAM_SNP_U), (m_pad,))
+    ushape = (m_pad, spec.n_fold) if spec.model_index == 6 else (m_pad,)
+    u_snp = _unif(jax.random.fold_in(key, G.STREAM_SNP_U), ushape)
     chi_snp = _chisq(jax.random.fold_in(key, G.STREAM_SNP_CHI), spec.dfvara + 1.0, (m_pad,))
     z2_snp = _norm(jax.random.fold_in(key, G.STREAM_SNP_Z2), (m_pad,))
 
@@ -148,18 +150,15 @@ def oracle_iteration(spec, dnp, base_key, st):
             ok = vgi > 0 if spec.vargl_strict_pos else vgi >= 0
             if ok:
                 st["vargL"][j] = vgi
-        else:  # BayesR
+        else:  # BayesR — Gumbel-max categorical fold draw (engine-identical)
             lhs = xx / ve
             s = logpi.copy()
             for f in range(1, spec.n_fold):
                 logdetV = np.log(vara_fold[f] * lhs + 1.0)
                 uhat = rhs / (xx + ve_vara_fold[f])
                 s[f] = -0.5 * (logdetV - rhs * uhat / ve) + logpi[f]
-            stemp = np.exp(s - s.max())
-            stemp = stemp / stemp.sum()
-            cum = np.cumsum(stemp)
-            hit = u_snp[j] < cum
-            ind = int(np.argmax(hit)) if hit.any() else 0
+            gum = -np.log(-np.log(np.maximum(u_snp[j], 1e-12)))
+            ind = int(np.argmax(s + gum))
             track[j] = ind
             if ind:
                 v = xx + ve_vara_fold[ind]

@@ -84,14 +84,21 @@ def test_multichain_pallas_kernel_interpret():
     np.testing.assert_allclose(gx[agree], gp[agree], rtol=0, atol=5e-5 * scale)
 
 
-def test_multichain_snp_mesh_raises():
-    """run_chains must refuse a (snp>1) mesh loudly instead of silently
-    re-gathering every SNP shard (VERDICT r2 missing #5)."""
-    import pytest
-
+def test_multichain_snp_mesh_matches_unsharded():
+    """nchains>1 on a (snp>1) mesh runs the turn-based shard schedule with
+    all chains per turn (_sweep_snp_sharded_mc) and must reproduce the
+    unsharded multi-chain run bit-for-bit in f64 (the psum merge adds exact
+    zeros from inactive shards; VERDICT r3 item 3)."""
     from hibayes_tpu.parallel.mesh import make_mesh
 
     data, spec, pr, pi = build(n=64, m=128, B=32)  # 4 blocks: divisible by snp=4
+    kw = {**spec.__dict__}
+    kw.update(niter=40, nburn=20)
+    spec = G.GibbsSpec(**kw)
+    _, sam1, _ = G.run_chains(spec, data, pr, pi, seed=5, nchains=2)
     mesh = make_mesh(4, shape=(1, 4))
-    with pytest.raises(NotImplementedError, match="SNP-sharded"):
-        G.run_chains(spec, data, pr, pi, seed=5, nchains=2, mesh=mesh)
+    _, sam4, _ = G.run_chains(spec, data, pr, pi, seed=5, nchains=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sam1["Vg"]), np.asarray(sam4["Vg"]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sam1["alpha"]),
+                               np.asarray(sam4["alpha"]), rtol=1e-9, atol=1e-13)

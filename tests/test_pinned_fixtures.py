@@ -50,18 +50,22 @@ def demo():
     return d, data, ma
 
 
-# exact fixed-seed f64 posterior summaries (see module docstring)
+# exact fixed-seed f64 posterior summaries (see module docstring).
+# BayesR pins regenerated 2026-08-21: the fold draw moved to Gumbel-max
+# (distribution-identical, different RNG realization — n_fold uniforms per
+# SNP instead of one); old/new posteriors agree within MC error
+# (ibrm h2 0.450 -> 0.459, sbrm h2 0.739 -> 0.760).
 IBRM_PINS = {
-    "BayesR": dict(Vg=71.17457079874863, Ve=81.95887049277256,
-                   h2=0.4503037165535813, mu=35.92821622251729),
+    "BayesR": dict(Vg=73.36229998951012, Ve=81.34175092046935,
+                   h2=0.4593681757977765, mu=34.47073277608872),
     "BayesL": dict(Vg=154.0190764037059, Ve=20.928580753359267,
                    h2=0.8606621999867929, mu=29.587373947163677),
     "BSLMM": dict(Vg=69.04880367577329, Ve=82.31713047574817,
                   h2=0.44369554660759775, mu=39.23817396997397),
 }
 SBRM_PINS = {
-    "BayesR": dict(Vg=310.6968825035123, Ve=120.01647028021216,
-                   h2=0.739240015281208),
+    "BayesR": dict(Vg=312.125464755851, Ve=109.91233724567367,
+                   h2=0.7602454083310529),
     "BayesL": dict(Vg=1013.0633629096285, Ve=396.66746194247855,
                    h2=0.7273184839858189),
 }

@@ -72,7 +72,8 @@ def oracle_s_iteration(spec, dnp, base_key, st):
     n = spec.n
     key = jax.random.fold_in(base_key, st["it"])
     z_snp = _norm(jax.random.fold_in(key, G.STREAM_SNP_Z), (m_pad,))
-    u_snp = _unif(jax.random.fold_in(key, G.STREAM_SNP_U), (m_pad,))
+    ushape = (m_pad, spec.n_fold) if spec.model_index == 6 else (m_pad,)
+    u_snp = _unif(jax.random.fold_in(key, G.STREAM_SNP_U), ushape)
     chi_snp = _chisq(jax.random.fold_in(key, G.STREAM_SNP_CHI), spec.dfvara + 1.0, (m_pad,))
     z2_snp = _norm(jax.random.fold_in(key, G.STREAM_SNP_Z2), (m_pad,))
 
@@ -125,18 +126,15 @@ def oracle_s_iteration(spec, dnp, base_key, st):
             )
             if vgi > 0:
                 st["vargL"][j] = vgi
-        else:  # BayesR
+        else:  # BayesR — Gumbel-max categorical fold draw (engine-identical)
             lhs = xx / vei
             s = logpi.copy()
             for f in range(1, spec.n_fold):
                 vf = max(vara_fold[f], 1e-30)
                 s[f] = -0.5 * (np.log(vf * lhs + 1.0)
                                - rhs * (rhs / (xx + vei / vf)) / vei) + logpi[f]
-            stemp = np.exp(s - s.max())
-            stemp /= stemp.sum()
-            cum = np.cumsum(stemp)
-            hit = u_snp[j] < cum
-            ind = int(np.argmax(hit)) if hit.any() else 0
+            gum = -np.log(-np.log(np.maximum(u_snp[j], 1e-12)))
+            ind = int(np.argmax(s + gum))
             track[j] = ind
             if ind:
                 v = xx + vei / max(vara_fold[ind], 1e-30)

@@ -137,13 +137,65 @@ def test_ind_sharded_pallas_no_full_gather():
     assert temp < xbytes / 2, f"temp {temp} vs X {xbytes}: full gather suspected"
 
 
-def test_multichain_snp_mesh_raises():
-    """run_chains must refuse a (snp>1) mesh loudly instead of silently
-    re-gathering the SNP shards every iteration."""
-    data, spec, pr, pi = build("BayesCpi", m=1024)  # 8 blocks: divisible by 8
-    with pytest.raises(NotImplementedError):
-        G.run_chains(spec, data, pr, pi, nchains=2,
-                     mesh=make_mesh(8, shape=(1, 8)))
+def _batched(spec, data, pr, pi, K):
+    s0 = G.init_state(spec, data, pr, pi)
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), s0)
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+    return states, keys
+
+
+def batch_one_iter(spec, data, states, keys, mesh=None):
+    if mesh is None:
+        step = jax.jit(partial(G.one_iteration_batch, spec))
+        return step(data, keys, states)
+    d = shard_gibbs_data(data, mesh)
+    with mesh:
+        step = jax.jit(partial(G.one_iteration_batch, spec, mesh=mesh))
+        return jax.block_until_ready(step(d, keys, states))
+
+
+@pytest.mark.parametrize("model", ["BayesCpi", "BayesR"])
+def test_multichain_snp_sharded_matches_unsharded_kernel(model):
+    """m-MP x multi-chain (VERDICT r3 item 3): the turn loop runs the fused
+    multi-chain kernel shard-locally for all K chains and must reproduce the
+    unsharded multi-chain kernel sweep."""
+    data, spec, pr, pi = build(model)
+    K = 3
+    assert G._select_sweep_mc(spec, spec.n, K, jnp.float32, 4, True) is not None
+    states, keys = _batched(spec, data, pr, pi, K)
+    s1 = batch_one_iter(spec, data, states, keys)
+    s8 = batch_one_iter(spec, data, states, keys, mesh=make_mesh(8, shape=(1, 8)))
+    assert_sweep_agrees(s1, s8)
+
+
+def test_multichain_2d_mesh_hybrid_matches_unsharded_kernel():
+    """m-MP x n-DP x multi-chain: the turn loop's shard-local sweep is the
+    per-block hybrid with K chains on the lanes — same streams, same chain."""
+    data, spec, pr, pi = build("BayesCpi")
+    states, keys = _batched(spec, data, pr, pi, 3)
+    s1 = batch_one_iter(spec, data, states, keys)
+    s8 = batch_one_iter(spec, data, states, keys, mesh=make_mesh(8, shape=(2, 4)))
+    assert_sweep_agrees(s1, s8)
+
+
+def test_multichain_snp_sharded_no_full_gather():
+    """Compile-memory assertion for the m-MP x multi-chain path: per-device
+    temp must stay far below the global X (each shard's kernels see only its
+    own X blocks; no re-gather per iteration)."""
+    data, spec, pr, pi = build("BayesCpi", n=512, m=4096, B=128)
+    mesh = make_mesh(8, shape=(1, 8))
+    d8 = shard_gibbs_data(data, mesh)
+    states, keys = _batched(spec, d8, pr, pi, 4)
+    with mesh:
+        compiled = (
+            jax.jit(partial(G.one_iteration_batch, spec, mesh=mesh))
+            .lower(d8, keys, states)
+            .compile()
+        )
+    xbytes = data.X_blocks.size * data.X_blocks.dtype.itemsize
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    assert temp < xbytes / 2, f"temp {temp} vs X {xbytes}: full gather suspected"
 
 
 def test_multichain_ind_sharded_hybrid():

@@ -163,7 +163,10 @@ def test_shard_state_is_sharding_fixed_point():
     from functools import partial
 
     data, spec, pr, pi = build()
-    for shape in ((1, 1), (8, 1)):
+    # cover the snp-sharded and 2-D shapes the flagship m-MP path uses, not
+    # just ind-only meshes — an output-sharding mismatch there would
+    # silently reintroduce the hidden-recompile-per-iteration bug
+    for shape in ((1, 1), (8, 1), (1, 8), (2, 4)):
         mesh = make_mesh(shape[0] * shape[1], shape=shape)
         d = shard_gibbs_data(data, mesh)
         st = shard_state(G.init_state(spec, d, pr, pi), mesh)
