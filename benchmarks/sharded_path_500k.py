@@ -56,7 +56,8 @@ def bench_ibrm(n=16384, m=500_000, block=128, model="BayesR", iters=10):
                                 geno_dtype="int8", fold=fold)
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
     spec = G.GibbsSpec(
-        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        model=model, n=int(data.y.shape[0]), n_real=n,
+        m=m, m_pad=int(data.xpx.shape[0]), block=block,
         nc=0, nlevels=(), n_fold=len(pi), niter=100, nburn=50, thin=5,
         nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,

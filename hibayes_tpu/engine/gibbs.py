@@ -81,7 +81,7 @@ class GibbsSpec:
     """Static configuration of one chain (hashable -> part of the jit key)."""
 
     model: str
-    n: int
+    n: int                  # array row count (== n_real unless row-padded)
     m: int                  # number of real SNPs
     m_pad: int              # padded to a multiple of block
     block: int
@@ -93,6 +93,11 @@ class GibbsSpec:
     thin: int
     nvar0: int              # monomorphic SNP count (vx == 0 among real SNPs)
     nw: int = 0             # GWAS windows (0 = off)
+    # real individual count when the row axis is zero-padded for the chunked
+    # kernels (prepare_gibbs_data pad_n); 0 means n is real.  All statistics
+    # (intercept, Ve/Va draws, variances) use n_obs; padded rows stay
+    # exactly zero in yadj/u so every dot product is unchanged.
+    n_real: int = 0
     fixpi: bool = False
     # priors (resolved to numbers before tracing; reference Bayes.cpp:319-363)
     dfvara: float = 4.0
@@ -133,6 +138,14 @@ class GibbsSpec:
     @property
     def model_index(self) -> int:
         return MODEL_INDEX[self.model]
+
+    @property
+    def n_obs(self) -> int:
+        return self.n_real or self.n
+
+    @property
+    def row_padded(self) -> bool:
+        return bool(self.n_real) and self.n_real != self.n
 
     @property
     def nblocks(self) -> int:
@@ -706,10 +719,13 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
     ve = state.vare
 
     # --- intercept (src/Bayes.cpp:480-482) ---
+    n_obs = spec.n_obs
+    row_real = (jnp.arange(n) < n_obs) if spec.row_padded else None
     z = jax.random.normal(jax.random.fold_in(key, STREAM_MU), dtype=dt)
-    delta = jnp.sum(yadj) / n + jnp.sqrt(ve / n) * z
+    delta = jnp.sum(yadj) / n_obs + jnp.sqrt(ve / n_obs) * z
     mu = mu + delta
-    yadj = yadj - delta
+    # padded rows must stay exactly zero (they feed sum(yadj) and yadj.yadj)
+    yadj = yadj - (jnp.where(row_real, delta, 0.0) if spec.row_padded else delta)
 
     # --- fixed covariates, sequential (src/Bayes.cpp:484-494) ---
     if spec.nc:
@@ -742,7 +758,8 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
         lhs = counts + ve / vrtmp[i]
         zr = jax.random.normal(kz, (nlev,), dtype=dt)
         new = rhs / lhs + jnp.sqrt(ve / lhs) * zr
-        yadj = yadj + (old - new)[codes]
+        upd = (old - new)[codes]
+        yadj = yadj + (jnp.where(row_real, upd, 0.0) if spec.row_padded else upd)
         chi = 2.0 * jax.random.gamma(kchi, jnp.asarray((nlev + spec.dfr) / 2.0, dt), dtype=dt)
         vrtmp = vrtmp.at[i].set((jnp.dot(new, new) + spec.s2r * spec.dfr) / chi)
         vr = vr.at[i].set(_var(new))
@@ -966,7 +983,7 @@ def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
 
     P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
     R = P.shape[1]
-    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)  # (nb, B, R, K)
+    P_blocks = blockgibbs.to_block_layout(P, nblocks, B)  # (nb, B, R, K)
     logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
 
     def body(X, W, P_bl, logpi, yadj, u):
@@ -1093,7 +1110,7 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
             P_loc = jax.vmap(pack_one)(
                 consts, vei_l, g_l, z_l, u_l, chi_l, vargL_l)
             R = P_loc.shape[1]
-            P_blocks = P_loc.reshape(K, R, nb_loc, B).transpose(2, 3, 1, 0)
+            P_blocks = blockgibbs.to_block_layout(P_loc, nb_loc, B)
             logpi_row = consts["logpi"][:, 0].astype(jnp.float32).reshape(1, K)
 
         if mc_fn is not None:
@@ -1254,7 +1271,10 @@ def _recompute_residuals(spec: GibbsSpec, data: GibbsData, mu, beta, estR,
         tail = epsl_estR[data.epsl_codes]
         pred = pred.at[n - spec.ne:].add(tail)
         u_new = u_new.at[n - spec.ne:].add(tail)
-    return data.y - pred, u_new
+    yadj_new = data.y - pred
+    if spec.row_padded:
+        yadj_new = jnp.where(jnp.arange(n) < spec.n_obs, yadj_new, 0.0)
+    return yadj_new, u_new
 
 
 def _post_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState, pre,
@@ -1285,9 +1305,18 @@ def _post_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState, pre,
         va = varg
 
     # --- genetic + residual variances (src/Bayes.cpp:819-823) ---
-    vara = _var(u)
+    if spec.row_padded:
+        # masked sample variance over the real rows (pads are exactly 0)
+        su = jnp.sum(u)
+        vara = (jnp.dot(u, u, precision=HIGHEST) - su * su / spec.n_obs) / (
+            spec.n_obs - 1
+        )
+    else:
+        vara = _var(u)
     kve = jax.random.fold_in(key, STREAM_VE)
-    chi_e = 2.0 * jax.random.gamma(kve, jnp.asarray((n + spec.dfvare) / 2.0, dt), dtype=dt)
+    chi_e = 2.0 * jax.random.gamma(
+        kve, jnp.asarray((spec.n_obs + spec.dfvare) / 2.0, dt), dtype=dt
+    )
     vare = (jnp.dot(yadj, yadj, precision=HIGHEST) + spec.s2vare * spec.dfvare) / chi_e
 
     # --- PIP / WPPA counters post burn-in (src/Bayes.cpp:826-845) ---
@@ -1415,7 +1444,7 @@ def pad_to_block(m: int, block: int) -> int:
 def prepare_gibbs_data(
     y, M, *, C=None, r_codes=(), r_nlevels=(), fold=None, windindx=None, nw=0,
     K=None, Kval=None, epsl_yJ=None, epsl_A=None, epsl_codes=None, qe=0,
-    block=64, dtype=jnp.float32, geno_dtype=None,
+    block=64, dtype=jnp.float32, geno_dtype=None, pad_n="auto",
 ):
     """Build the device-resident GibbsData (block layout, Gram matrices, stats).
 
@@ -1423,9 +1452,33 @@ def prepare_gibbs_data(
     and sweep bandwidth vs f32); the Gram matrices are built with exact int32
     MXU accumulation (entries <= 4n < 2^24 stay exact in f32) and the kernels
     cast blocks to f32 in VMEM.
+
+    pad_n: "auto" zero-pads the individual axis up to a multiple of 512 for
+    large odd-sized cohorts (n > 4096, no BSLMM/epsilon term) — the chunked
+    Pallas sweeps slice residual rows at 128-aligned lane offsets, so e.g.
+    n=50,000 needs padding to run at kernel speed.  Zero rows are exact
+    no-ops in every dot product; callers must put the PADDED n in
+    GibbsSpec.n (array sizes) and the real count in GibbsSpec.n_real (all
+    statistics use n_real).  Pass pad_n=False to disable.
     """
     y = jnp.asarray(y, dtype)
     n = int(y.shape[0])
+    n_real = n
+    if pad_n == "auto":
+        pad_n = (K is None and epsl_yJ is None and epsl_A is None
+                 and n > 4096 and n % 512 != 0)
+    if pad_n:
+        if K is not None or epsl_A is not None or epsl_yJ is not None:
+            raise ValueError("pad_n is not supported with BSLMM/epsilon terms")
+        n_pad_rows = pad_to_block(n, 512)
+        if n_pad_rows != n:
+            y = jnp.pad(y, (0, n_pad_rows - n))
+            if C is not None:
+                C = np.pad(np.asarray(C), ((0, n_pad_rows - n), (0, 0)))
+            r_codes = tuple(
+                np.pad(np.asarray(c), (0, n_pad_rows - n)) for c in r_codes
+            )
+            n = n_pad_rows
     use_int8 = geno_dtype in ("int8", jnp.int8, np.int8)
     M_np = np.asarray(M)
     m = int(M_np.shape[1])
@@ -1453,11 +1506,11 @@ def prepare_gibbs_data(
         if not np.issubdtype(M_np.dtype, np.integer):
             if not np.all(M_np == np.round(M_np)):
                 raise ValueError("geno_dtype='int8' requires integer genotype codes")
-        if m_pad == m and M_np.dtype == np.int8:
+        if m_pad == m and n == n_real and M_np.dtype == np.int8:
             Mi = np.ascontiguousarray(M_np)
         else:
             Mi = np.zeros((n, m_pad), dtype=np.int8)
-            Mi[:, :m] = M_np.astype(np.int8)
+            Mi[:n_real, :m] = M_np.astype(np.int8)
         X_blocks = jnp.asarray(Mi.reshape(n, nblocks, block).transpose(1, 0, 2))
 
         # exact integer Gram on the MXU, cast to f32 (exact below 2^24).
@@ -1483,18 +1536,23 @@ def prepare_gibbs_data(
         ).reshape(m_pad)
         s1 = np.asarray(s1_dev, dtype=np.float64).reshape(m_pad)
         xpx = jnp.asarray(s2, dtype)
-        vx = jnp.asarray((s2 - s1 * s1 / n) / (n - 1), dtype)
+        vx = jnp.asarray((s2 - s1 * s1 / n_real) / (n_real - 1), dtype)
     else:
         M_j = jnp.asarray(M_np, dtype)
         if m_pad != m:
             M_j = jnp.pad(M_j, ((0, 0), (0, m_pad - m)))
+        if n != n_real:
+            M_j = jnp.pad(M_j, ((0, n - n_real), (0, 0)))
         X_blocks = M_j.reshape(n, nblocks, block).transpose(1, 0, 2)
         W_blocks = jnp.einsum("bnk,bnl->bkl", X_blocks, X_blocks, precision=HIGHEST)
         xpx = jnp.sum(M_j * M_j, axis=0)
         # centered two-pass variance: exact 0 for constant (monomorphic)
-        # columns, unlike the E[x^2]-E[x]^2 form which leaves rounding dust
-        Mc = M_j - jnp.mean(M_j, axis=0, keepdims=True)
-        vx = jnp.sum(Mc * Mc, axis=0) / (n - 1)
+        # columns, unlike the E[x^2]-E[x]^2 form which leaves rounding dust;
+        # padded rows are excluded from the centering mask
+        col_mean = jnp.sum(M_j, axis=0, keepdims=True) / n_real
+        row_real = (jnp.arange(n) < n_real)[:, None]
+        Mc = jnp.where(row_real, M_j - col_mean, 0.0)
+        vx = jnp.sum(Mc * Mc, axis=0) / (n_real - 1)
     real = jnp.arange(m_pad) < m
     vx = jnp.where(real, vx, 0.0)
 
@@ -1505,8 +1563,11 @@ def prepare_gibbs_data(
     cpc = jnp.sum(C * C, axis=0)
 
     r_codes_t = tuple(jnp.asarray(c, jnp.int32) for c in r_codes)
+    # padded rows carry code 0 but must not inflate the level counts
+    row_w = (jnp.ones((n,), dtype) if n == n_real
+             else (jnp.arange(n) < n_real).astype(dtype))
     r_counts_t = tuple(
-        jax.ops.segment_sum(jnp.ones((n,), dtype), c, num_segments=int(nl))
+        jax.ops.segment_sum(row_w, c, num_segments=int(nl))
         for c, nl in zip(r_codes_t, r_nlevels)
     )
 
@@ -1603,7 +1664,12 @@ def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> Cha
     dt = data.y.dtype
     n, m_pad = spec.n, spec.m_pad
     nr = len(spec.nlevels)
-    mu0 = jnp.mean(data.y)
+    if spec.row_padded:
+        mu0 = jnp.sum(data.y) / spec.n_obs
+        yadj0 = jnp.where(jnp.arange(n) < spec.n_obs, data.y - mu0, 0.0)
+    else:
+        mu0 = jnp.mean(data.y)
+        yadj0 = data.y - mu0
     pi = jnp.asarray(pi_init, dt)
     vara_fold = (
         jnp.asarray(priors.varg, dt) * data.fold
@@ -1618,7 +1684,7 @@ def init_state(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init) -> Cha
         estR=tuple(jnp.zeros((nl,), dt) for nl in spec.nlevels),
         vrtmp=jnp.full((nr,), priors.vr_init, dt),
         vr=jnp.zeros((nr,), dt),
-        yadj=data.y - mu0,
+        yadj=yadj0,
         u=jnp.zeros((n,), dt),
         g=jnp.zeros((m_pad,), dt),
         varg=jnp.asarray(priors.varg, dt),

@@ -758,7 +758,7 @@ def one_s_iteration_batch(spec: GibbsSpec, data: SGibbsData, chain_keys, states)
     for seg_i, mc in enumerate(spec.seg_sizes):
         nblocks = mc // B
         P_seg = jax.lax.dynamic_slice(P, (0, 0, off), (K, R, mc))
-        P_blocks = P_seg.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+        P_blocks = blockgibbs.to_block_layout(P_seg, nblocks, B)
         r_seg = jax.lax.dynamic_slice(r_hat_b, (0, off), (K, mc))
         dg_seg, track_seg, r_new = blockgibbs.sweep_s_segment_t(
             spec, consts_b, data.ld_segs[seg_i], r_seg, P_blocks, spec.n,

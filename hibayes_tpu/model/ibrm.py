@@ -188,7 +188,8 @@ def ibrm(
         dfvr=dfvr, s2vr=s2vr,
     )
     spec = G.GibbsSpec(
-        model=method, n=n, m=m, m_pad=int(gdata.xpx.shape[0]), block=int(gdata.X_blocks.shape[2]),
+        model=method, n=int(gdata.y.shape[0]), n_real=n,
+        m=m, m_pad=int(gdata.xpx.shape[0]), block=int(gdata.X_blocks.shape[2]),
         nc=nc, nlevels=nlevels, n_fold=n_fold, niter=niter, nburn=nburn, thin=thin,
         nvar0=nvar0, nw=nw, fixpi=fixpi,
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,

@@ -100,20 +100,26 @@ def _pack_rows(spec: GibbsSpec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp):
         # distribution-identical to the inverse-CDF draw but needs NO
         # exp/normalise/cumsum in the sequential chain — the Gumbels fold
         # into A_f here in phase A, the per-draw work is n_fold FMAs+compares.
-        uu = jnp.maximum(u_snp.astype(dt), 1e-12)       # (m_pad, n_fold)
-        gum = -jnp.log(-jnp.log(uu))
+        # The (m_pad, n_fold) uniforms are transposed to row-major (n_fold,
+        # m_pad) BEFORE the log-log transform and the result is fenced with
+        # an optimization_barrier: a (m, 4) array is lane-padded 32x on TPU,
+        # and letting XLA fuse strided reads of it into the P-block
+        # transpose degrades that copy to ~370 ms/iter at non-power-of-2 m
+        # (profiled at m=500k; clean (nf, m) rows + the barrier restore it).
+        ut = jnp.maximum(u_snp.astype(dt).T, 1e-12)     # (n_fold, m_pad)
+        gum = jax.lax.optimization_barrier(-jnp.log(-jnp.log(ut)))
         rows = [rg, g]
         for f in range(1, spec.n_fold):
             vara_f = jnp.maximum(consts["vara_fold"][f], 1e-30).astype(dt)
             vf = x + ve / vara_f
             A_f = -0.5 * jnp.log(vara_f * x / ve + 1.0) + consts["logpi"][f]
-            A_f = A_f + gum[:, f]
+            A_f = A_f + gum[f]
             A_f = jnp.where(act, A_f, NEG_BIG)
             B_f = 0.5 / (vf * ve)
             ivf = jnp.where(act, 1.0 / vf, 0.0)
             szf = jnp.where(act, jnp.sqrt(ve / vf) * z_snp.astype(dt), 0.0)
             rows += [A_f, B_f, ivf, szf]
-        rows.append(consts["logpi"][0] + gum[:, 0])     # fold-0 gumbel logit
+        rows.append(consts["logpi"][0] + gum[0])        # fold-0 gumbel logit
     return jnp.stack(rows).astype(dt)  # (R, m_pad)
 
 
@@ -503,6 +509,17 @@ def sweep_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
     return (g_new, track, vargL_new, yadj_o, u_o, vargi_acc, vargR_acc)
 
 
+def to_block_layout(P, nblocks, B):
+    """(K, R, m_pad) -> (nblocks, B, R, K) operand layout for the transposed
+    kernels, fenced with optimization_barriers so XLA cannot fuse the
+    minor-dim transpose with phase-A selects/RNG — that fusion degrades to a
+    ~370 ms/iter copy at m=500k on TPU (profiled; clean at power-of-2 m)."""
+    K, R = P.shape[0], P.shape[1]
+    P = jax.lax.optimization_barrier(P)
+    Pb = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    return jax.lax.optimization_barrier(Pb)
+
+
 def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
     """Shared draw body over packed coefficient values (scalar or (K,1))."""
     mi = spec.model_index
@@ -520,21 +537,31 @@ def _draw_from_vals(spec: GibbsSpec, logpi0, vals, rhs):
         return gi, None
     # BayesR: Gumbel-max fold selection — the Gumbel noise is already folded
     # into the A rows by _pack_rows, so the fold draw is argmax_f(A_f+B_f q),
-    # a chain of FMAs and compares with NO transcendentals (the old
-    # exp/normalise/cumsum inverse-CDF draw cost ~2.4x BayesCpi per draw).
+    # with NO transcendentals (the old exp/normalise/cumsum inverse-CDF draw
+    # cost ~2.4x BayesCpi per draw).  The per-fold logits s_f and candidate
+    # draws gi_f are mutually independent FMAs (issue-parallel on the VPU);
+    # the argmax runs as a balanced tournament so the serial dependency
+    # depth is O(log nf), not O(nf) — this chain latency is THE cost of the
+    # sweep (everything else in the kernel is pipelined MXU/DMA work).
     q = rhs * rhs
-    best = vals(2 + 4 * (nf - 1)) + 0.0 * rhs   # fold-0 gumbel logit row
-    ind = jnp.zeros_like(rhs, dtype=jnp.int32)
-    ivf = jnp.zeros_like(rhs)
-    szf = jnp.zeros_like(rhs)
+    cand = [(vals(2 + 4 * (nf - 1)) + 0.0 * rhs,       # s_0 (gumbel logit)
+             jnp.zeros_like(rhs),                       # gi_0 = 0
+             jnp.zeros_like(rhs, dtype=jnp.int32))]     # ind_0
     for f in range(1, nf):
         sf = vals(2 + 4 * (f - 1)) + vals(3 + 4 * (f - 1)) * q
-        sel = sf > best
-        best = jnp.maximum(sf, best)
-        ind = jnp.where(sel, f, ind)
-        ivf = jnp.where(sel, vals(4 + 4 * (f - 1)), ivf)
-        szf = jnp.where(sel, vals(5 + 4 * (f - 1)), szf)
-    gi = jnp.where(ind > 0, rhs * ivf + szf, 0.0)
+        gif = rhs * vals(4 + 4 * (f - 1)) + vals(5 + 4 * (f - 1))
+        cand.append((sf, gif, jnp.full_like(cand[0][2], f)))
+    while len(cand) > 1:
+        nxt = []
+        for i in range(0, len(cand) - 1, 2):
+            (sa, ga, ia), (sb, gb, ib) = cand[i], cand[i + 1]
+            sel = sb > sa
+            nxt.append((jnp.maximum(sa, sb), jnp.where(sel, gb, ga),
+                        jnp.where(sel, ib, ia)))
+        if len(cand) % 2:
+            nxt.append(cand[-1])
+        cand = nxt
+    _, gi, ind = cand[0]
     return gi, ind.astype(F32)
 
 
@@ -668,7 +695,7 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
     P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
     R = P.shape[1]  # (K, R, m_pad)
     # (K, R, m_pad) -> (nblocks, B, R, K): SNP j of block b is one (R, K) tile
-    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    P_blocks = to_block_layout(P, nblocks, B)
     logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
 
     kern = functools.partial(_kernel_mc_t, spec, n, B, R, K)
@@ -810,7 +837,7 @@ def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
 
     P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
     R = P.shape[1]
-    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    P_blocks = to_block_layout(P, nblocks, B)
     logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
 
     kern = functools.partial(_kernel_mc_ti, spec, n, B, R, K, C)
@@ -868,14 +895,18 @@ MC_CHUNK_N = 2048
 
 
 def _pick_chunk(n: int) -> int:
-    """Largest divisor of n that is <= MC_CHUNK_N and a multiple of 8
-    (sublane alignment); 0 if none >= 512 exists."""
+    """Largest divisor of n that is <= MC_CHUNK_N and a multiple of 128;
+    0 if none >= 512 exists.  128 (not 8): the chunked kernels slice the
+    LANE dimension of the (K, n) residual rows at dynamic offsets c*C, and
+    Mosaic requires lane offsets provably divisible by 128 — a multiple-of-8
+    chunk (e.g. C=2000 at n=50,000) fails TPU compilation.  Cohorts whose n
+    has no such divisor are row-padded by prepare_gibbs_data."""
     best = 0
-    c = 8
+    c = 128
     while c <= MC_CHUNK_N:
         if n % c == 0:
             best = c
-        c += 8
+        c += 128
     return best if best >= 512 else 0
 
 
@@ -985,7 +1016,7 @@ def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
 
     P = jax.vmap(pack_one)(consts_b, vei_b, g_b, z_b, u_b, chi_b, vargL_b)
     R = P.shape[1]
-    P_blocks = P.reshape(K, R, nblocks, B).transpose(2, 3, 1, 0)
+    P_blocks = to_block_layout(P, nblocks, B)
     logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
 
     kern = functools.partial(_kernel_mc_tc, spec, n, B, R, K, C)

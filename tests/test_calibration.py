@@ -16,6 +16,8 @@ while staying comfortably outside MC noise at 4000-iteration chains.
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 import hibayes_tpu as ht
 

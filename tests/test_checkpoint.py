@@ -1,3 +1,7 @@
+
+import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 """Checkpoint/resume: a resumed chain is bit-identical to an uninterrupted one."""
 
 import jax

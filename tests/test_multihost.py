@@ -15,6 +15,8 @@ import sys
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 from hibayes_tpu.data import plink
 

@@ -26,6 +26,8 @@ import csv
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # f64 fixed-seed chains: full lane only
+
 import hibayes_tpu as ht
 
 DEMO = "/root/reference/inst/extdata/demo"

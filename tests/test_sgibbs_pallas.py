@@ -3,6 +3,8 @@
 import jax
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 from hibayes_tpu.engine import gibbs as G
 from hibayes_tpu.engine import sgibbs as SG

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 import hibayes_tpu as ht
 from hibayes_tpu.engine import gibbs as G

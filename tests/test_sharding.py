@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 from hibayes_tpu.engine import gibbs as G
 from hibayes_tpu.parallel.mesh import make_mesh, shard_gibbs_data, shard_state

@@ -139,6 +139,7 @@ def test_ssbrm_demo(demo):
     assert len(fit.e["id"]) == 500  # all 500 phenotyped ids are in pedigree
 
 
+@pytest.mark.slow
 def test_ssbrm_multichain(demo):
     bin_, pheno, (pid, ps, pd_) = demo
     fit = ssbrm(
@@ -312,6 +313,7 @@ def test_blocked_mme_gibbs_sparse_matches_dense():
     assert stored < 4 * A.nnz + sp_obj.diag_blocks.shape[0] * T
 
 
+@pytest.mark.slow
 def test_ssbrm_pcg_path_statistically_matches_direct(demo):
     bin_, pheno, (pid, ps, pd_) = demo
     kw = dict(

@@ -9,6 +9,8 @@ small-m reference implementation it must agree with.
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 import hibayes_tpu as ht
 from hibayes_tpu.data.ld import ldmat

@@ -10,6 +10,8 @@ which must not fire on well-conditioned data.
 import jax
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy shard_map/interpret compiles: full lane only
+
 
 from hibayes_tpu.data.sparse_ld import build_tiled_ld
 from hibayes_tpu.engine import gibbs as G
