@@ -1,10 +1,12 @@
 """BSLMM: polygenic eigen-basis block draw + sparse SNP effects."""
 
 import numpy as np
+import pytest
 
 import hibayes_tpu as ht
 
 
+@pytest.mark.slow
 def test_bslmm_synthetic():
     rng = np.random.default_rng(31)
     n, m = 300, 400

@@ -1,6 +1,7 @@
 """CLI smoke tests on demo data."""
 
 import numpy as np
+import pytest
 
 from hibayes_tpu.cli import main
 
@@ -104,6 +105,7 @@ def test_cli_ldmat_tiled(tmp_path):
     assert z["tiles"].shape[2] == 64
 
 
+@pytest.mark.slow
 def test_cli_ssbrm_pcg(tmp_path):
     out = str(tmp_path / "sspcg")
     rc = main(["ssbrm", "--bfile", DEMO, "--pheno", DEMO + ".phe",

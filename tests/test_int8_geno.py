@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hibayes_tpu.engine import gibbs as G
 
@@ -41,6 +42,7 @@ def test_int8_matches_f32_layout():
     )
 
 
+@pytest.mark.slow
 def test_int8_pallas_interpret():
     data8, spec, pr, pi = _mk("int8", jnp.float32, use_pallas=True)
     _, s, _ = G.run_chain(spec, data8, pr, pi, seed=4)

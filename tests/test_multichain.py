@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from hibayes_tpu.engine import gibbs as G
 
@@ -52,6 +53,7 @@ def test_rhat_converged_chain_near_one():
     assert 0.9 < rhat["Ve"] < 1.3, rhat
 
 
+@pytest.mark.slow
 def test_multichain_pallas_kernel_interpret():
     """Multi-chain fused kernel vs vmapped XLA sweep (interpret mode)."""
     import jax.numpy as jnp
@@ -84,6 +86,7 @@ def test_multichain_pallas_kernel_interpret():
     np.testing.assert_allclose(gx[agree], gp[agree], rtol=0, atol=5e-5 * scale)
 
 
+@pytest.mark.slow
 def test_multichain_snp_mesh_matches_unsharded():
     """nchains>1 on a (snp>1) mesh runs the turn-based shard schedule with
     all chains per turn (_sweep_snp_sharded_mc) and must reproduce the

@@ -40,7 +40,11 @@ def _build(pad, n=100, m=64, B=32, model="BayesCpi", seed=3):
     return data, spec, pr, pi
 
 
-@pytest.mark.parametrize("model", ["BayesCpi", "BayesR", "BayesRR"])
+@pytest.mark.parametrize("model", [
+    "BayesCpi",
+    pytest.param("BayesR", marks=pytest.mark.slow),
+    pytest.param("BayesRR", marks=pytest.mark.slow),
+])
 def test_row_padded_chain_matches_unpadded(model):
     data_u, spec_u, pr, pi = _build(False, model=model)
     data_p, spec_p, _, _ = _build(True, model=model)

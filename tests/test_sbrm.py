@@ -107,6 +107,7 @@ def test_sbrm_demo_dense(demo):
     assert np.isfinite(fit.alpha).all()
 
 
+@pytest.mark.slow
 def test_sbrm_demo_blockdiag_sparse_semantics(demo):
     bin_, ma = demo
     ld = ht.ldmat(bin_["geno"], map=bin_["map"], ldchr=False, chisq=5.0)

@@ -121,6 +121,7 @@ def demo():
     return bin_, pheno, ped
 
 
+@pytest.mark.slow
 def test_ssbrm_demo(demo):
     bin_, pheno, (pid, ps, pd_) = demo
     fit = ssbrm(
