@@ -1,5 +1,6 @@
-"""Scratch: profile one BayesR one_iteration step at a given m (debug the
-m-dependent regression).  Usage: python benchmarks/_profile_bayesr.py [m]."""
+"""Profile one ibrm one_iteration step: per-op device totals from a
+jax.profiler trace (this is how the m=500k copy_select_fusion regression
+was found).  Usage: python benchmarks/profile_step.py [m] [n]."""
 
 import glob
 import gzip

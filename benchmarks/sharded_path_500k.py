@@ -116,6 +116,79 @@ def bench_ibrm(n=16384, m=500_000, block=128, model="BayesR", iters=10):
     return t_u, t_s
 
 
+def bench_ibrm_mc(n=16384, m=500_000, block=128, model="BayesR", K=8, iters=10):
+    """Multi-chain x SNP-sharded composition (VERDICT r3 item 3): K chains
+    swept per turn through `_sweep_snp_sharded_mc` at S=1, vs the unsharded
+    multi-chain kernel.  The per-turn X DMA is shared by all K chains, so
+    the aggregate SNP-update rate scales far better than Kx one chain."""
+    rng = np.random.default_rng(0)
+    M = _sim_geno(rng, n, m)
+    b = rng.normal(0, 0.05, m).astype(np.float32)
+    y = rng.normal(0, 1, n).astype(np.float32)
+    for j0 in range(0, m, 8192):
+        y += M[:, j0:j0 + 8192].astype(np.float32) @ b[j0:j0 + 8192]
+    if model == "BayesR":
+        pi = np.array([0.95, 0.02, 0.02, 0.01])
+        fold = np.array([0.0, 1e-4, 1e-3, 1e-2])
+    else:
+        pi, fold = np.array([0.95, 0.05]), None
+    data = G.prepare_gibbs_data(y, M, block=block, dtype=jnp.float32,
+                                geno_dtype="int8", fold=fold)
+    pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
+    spec = G.GibbsSpec(
+        model=model, n=int(data.y.shape[0]), n_real=n,
+        m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        nc=0, nlevels=(), n_fold=len(pi), niter=100, nburn=50, thin=5,
+        nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
+        dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare, s2vare=pr.s2vare,
+        s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
+        use_pallas=jax.default_backend() != "cpu",
+    )
+    st0 = G.init_state(spec, data, pr, pi)
+    states0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), st0)
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    step_u = jax.jit(partial(G.one_iteration_batch, spec))
+    ss = jax.block_until_ready(step_u(data, keys, states0))
+    ss = jax.block_until_ready(step_u(data, keys, ss))
+    t0 = time.time()
+    for _ in range(iters):
+        ss = step_u(data, keys, ss)
+    jax.block_until_ready(ss)
+    t_u = (time.time() - t0) / iters
+
+    from hibayes_tpu.parallel.mesh import make_mesh, shard_gibbs_data
+
+    mesh = make_mesh(1, shape=(1, 1))
+    data_s = shard_gibbs_data(data, mesh)
+
+    def step_s(data, keys, states):
+        kk = jax.vmap(lambda k, it: jax.random.fold_in(k, it))(keys, states.it)
+        pre = jax.vmap(lambda k, s: G._pre_sweep(spec, data, k, s))(kk, states)
+        out = G._sweep_snp_sharded_mc(
+            spec, data, pre["consts"], pre["rnd"], pre["vei"], states.g,
+            pre["vargL_in"], pre["yadj"], pre["u"], mesh,
+        )
+        return G._post_sweep_batch(spec, data, kk, states, pre, out)
+
+    with mesh:
+        step_s_j = jax.jit(step_s)
+        ss = jax.block_until_ready(step_s_j(data_s, keys, states0))
+        ss = jax.block_until_ready(step_s_j(data_s, keys, ss))
+        t0 = time.time()
+        for _ in range(iters):
+            ss = step_s_j(data_s, keys, ss)
+        jax.block_until_ready(ss)
+        t_s = (time.time() - t0) / iters
+
+    print(f"ibrm {model} n={n} m={m} K={K} chains: unsharded "
+          f"{t_u*1e3:.1f} ms/iter ({K*m/t_u/1e6:.2f}M upd/s aggregate), "
+          f"sharded-path(S=1) {t_s*1e3:.1f} ms/iter "
+          f"({K*m/t_s/1e6:.2f}M upd/s), ratio {t_s/t_u:.3f}x", flush=True)
+    return t_u, t_s
+
+
 def bench_sbrm(m=500_000, T=128, K=9, iters=10):
     from hibayes_tpu.data.sparse_ld import TiledSparseLD
 
