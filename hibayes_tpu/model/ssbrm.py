@@ -232,6 +232,9 @@ def ssbrm(
         )
     else:
         Mn_pheno = Mn[mn_rows_pheno]
+    # match the working dtype BEFORE the vstack: an f64 imputed block would
+    # promote the whole [M; Mn] stack and double host RSS at scale
+    Mn_pheno = np.asarray(Mn_pheno, dtype=M_values.dtype)
     yM = np.vstack([M_values[np.isin(M_id, y_ids)], Mn_pheno])
     yJ = np.concatenate([J[np.isin(M_id, y_ids)], Jn[mn_rows_pheno]])
 
