@@ -60,7 +60,10 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
 
     spec = G.GibbsSpec(
-        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        # prepare_gibbs_data may auto-pad the row axis (e.g. BENCH_N=50000):
+        # arrays use the padded count, statistics the real one
+        model=model, n=int(data.y.shape[0]), n_real=n,
+        m=m, m_pad=int(data.xpx.shape[0]), block=block,
         nc=0, nlevels=(), n_fold=len(pi), niter=niter, nburn=niter // 2, thin=5,
         nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,
@@ -94,7 +97,8 @@ def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
                                 geno_dtype="int8", fold=fold)
     pr = G.resolve_priors(y, float(np.asarray(data.vx).sum()), pi[0], nr=0)
     spec = G.GibbsSpec(
-        model=model, n=n, m=m, m_pad=int(data.xpx.shape[0]), block=block,
+        model=model, n=int(data.y.shape[0]), n_real=n,
+        m=m, m_pad=int(data.xpx.shape[0]), block=block,
         nc=0, nlevels=(), n_fold=len(pi), niter=niter, nburn=niter // 2, thin=5,
         nvar0=int((np.asarray(data.vx)[:m] == 0).sum()),
         dfvara=pr.dfvara, s2vara=pr.s2vara, dfvare=pr.dfvare,

@@ -994,7 +994,7 @@ def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
             r0 = jax.lax.psum(
                 jax.lax.dot_general(
                     Xl, ya, (((0,), (1,)), ((), ())),
-                    preferred_element_type=F32,
+                    preferred_element_type=F32, precision=HIGHEST,
                 ),
                 "ind",
             )  # (B, K)
@@ -1002,7 +1002,8 @@ def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
                 spec, logpi, P_b, Wb, r0, interpret=interpret
             )
             delta = jax.lax.dot_general(
-                dg, Xl, (((0,), (1,)), ((), ())), preferred_element_type=F32
+                dg, Xl, (((0,), (1,)), ((), ())), preferred_element_type=F32,
+                precision=HIGHEST,
             )  # (K, n_loc)
             return (ya + delta, uu - delta), (dg, track_b)
 
@@ -1132,7 +1133,7 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
                     Xl = Xb.astype(dt)
                     r0 = jax.lax.dot_general(
                         Xl, ya, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.float32, precision=HIGHEST,
                     )  # (B, K)
                     if has_ind:
                         r0 = jax.lax.psum(r0, "ind")
@@ -1142,7 +1143,7 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
                     )
                     delta = jax.lax.dot_general(
                         dg, Xl, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.float32, precision=HIGHEST,
                     )  # (K, n_loc)
                     return (ya + delta, uu - delta), (dg, track_b)
 
@@ -2049,10 +2050,32 @@ def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
         "pip": np.asarray(pip[:, : spec.m].mean(axis=0)),
         "wppa": np.asarray(wppa.mean(axis=0)),
         "nzct": nzct,
-        "rhat": {k: gelman_rubin(np.asarray(v)) for k, v in samples.items()
-                 if getattr(v, "ndim", 0) == 2},
+        "rhat": rhat_diagnostics(samples),
     }
     return states, samples, extras
+
+
+def rhat_diagnostics(samples, max_entries=256) -> dict:
+    """Split-R-hat per sampled parameter: scalars directly, vector parameters
+    (alpha, GEBV-like traces) as the MAX split-R-hat over `max_entries`
+    evenly-subsampled entries — the convergence summary practitioners monitor
+    at scale.  Subsampling happens on device so the (K, n_records, m) sample
+    tensors never cross the host link."""
+    out = {}
+    for k, v in samples.items():
+        nd = getattr(v, "ndim", 0)
+        if nd == 2:
+            out[k] = gelman_rubin(np.asarray(v))
+        elif nd == 3 and v.shape[2] > 0 and v.shape[1] >= 4:
+            idx = np.unique(
+                np.linspace(0, v.shape[2] - 1, min(v.shape[2], max_entries))
+                .astype(int)
+            )
+            sub = np.asarray(v[:, :, idx], dtype=np.float64)
+            vals = [gelman_rubin(sub[:, :, j]) for j in range(sub.shape[2])]
+            vals = [r for r in vals if np.isfinite(r)]
+            out[k] = float(max(vals)) if vals else float("nan")
+    return out
 
 
 def gelman_rubin(chains: np.ndarray) -> float:

@@ -804,7 +804,7 @@ def run_s_chains(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
     """K independent summary chains with split-R-hat diagnostics; the
     transposed segment kernel runs every chain's sequential sweep on the VPU
     lanes of one grid pass (the reference runs a single chain only)."""
-    from .gibbs import gelman_rubin
+    from .gibbs import rhat_diagnostics as G_rhat_diagnostics
 
     base = jax.random.PRNGKey(seed)
     chain_keys = jax.random.split(base, nchains)
@@ -830,8 +830,7 @@ def run_s_chains(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
         "pip": np.asarray(pip.mean(axis=0))[real_cols],
         "wppa": np.asarray(wppa.mean(axis=0)),
         "nzct": nzct,
-        "rhat": {k: gelman_rubin(np.asarray(v)) for k, v in samples.items()
-                 if getattr(v, "ndim", 0) == 2},
+        "rhat": G_rhat_diagnostics(samples),
     }
     return states, samples, extras
 

@@ -129,6 +129,12 @@ def sbrm(
     t0 = time.time()
     rhat = None
     if nchains > 1:
+        if mesh is not None:
+            raise ValueError(
+                "sbrm(nchains>1, mesh=...) is not supported: the summary "
+                "multi-chain runner executes single-device.  Run one chain "
+                "with mesh=, or multiple chains without a mesh."
+            )
         state, samples, extras = SG.run_s_chains(
             spec, data, pr, Pi, seed=seed, nchains=nchains
         )

@@ -100,10 +100,26 @@ def shard_sgibbs_data(data, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     snp_size = int(mesh.shape.get("snp", 1))
-    if data.ld_tiles is None or snp_size <= 1:
+    if snp_size <= 1:
+        return data
+    if data.ld_tiles is None:
+        import warnings
+
+        warnings.warn(
+            "mesh with an snp axis was requested but the LD is not tiled-"
+            "sparse; the summary sweep will run single-device semantics "
+            "(build the LD with ldmat(..., chisq=...) / TiledSparseLD to "
+            "shard it)."
+        )
         return data
     nbr = data.ld_tiles.shape[0]
     if nbr % snp_size != 0:
+        import warnings
+
+        warnings.warn(
+            f"snp mesh axis ({snp_size}) does not divide the {nbr} LD tile "
+            "rows; the summary sweep will run single-device semantics."
+        )
         return data
     def put_rows(x):
         # per-SNP vector (m_pad,): contiguous split == block-row shards

