@@ -78,7 +78,39 @@ def measure_engine(n, m, block, niter, model="BayesCpi", dtype=None):
     state, samples, extras = G.run_chain(spec, data, pr, pi, seed=2)
     elapsed = time.time() - t0
     iters = spec.niter_eff
-    return iters * m / elapsed, elapsed, iters
+    return iters * m / elapsed, elapsed, iters, spec, data
+
+
+def hbm_stats(spec, data, t_iter, n_chains=1):
+    """Achieved HBM bandwidth of the sweep vs the chip's speed-of-light
+    (VERDICT r5 item 8).  Bytes-touched model per iteration: the genotype
+    block layout crosses HBM once per iteration for the VMEM-resident
+    kernels (sweep_mc_t/_ti) and twice for the chunked-DMA variants (r0
+    pass + delta pass); W/P/residual traffic rides along (counted once).
+    v5e HBM speed-of-light: 819 GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    n_arr = int(data.X_blocks.shape[1])
+    geno_bytes = data.X_blocks.size * data.X_blocks.dtype.itemsize
+    interp = jax.default_backend() == "cpu"
+    sel = G_sel = None
+    try:
+        from hibayes_tpu.engine.gibbs import _select_sweep_mc
+
+        sel = _select_sweep_mc(spec, n_arr, max(n_chains, 1), jnp.float32,
+                               data.X_blocks.dtype.itemsize, interp)
+        G_sel = getattr(getattr(sel, "func", sel), "__name__", "")
+    except Exception:
+        G_sel = ""
+    passes = 1 if G_sel in ("sweep_mc_t", "sweep_mc_ti") else 2
+    aux = (data.W_blocks.size * 4                       # Gram blocks
+           + 4 * spec.m_pad * 4 * max(n_chains, 1) * 2  # P rows in+out
+           + 4 * n_arr * 4 * max(n_chains, 1))          # yadj/u in/out
+    bytes_per_iter = geno_bytes * passes + aux
+    gbps = bytes_per_iter / t_iter / 1e9
+    return {"kernel": G_sel or "xla", "hbm_gbps": round(gbps, 1),
+            "hbm_frac": round(gbps / 819.0, 3)}
 
 
 def measure_engine_mc(n, m, block, niter, nchains, model="BayesCpi"):
@@ -163,11 +195,13 @@ def main():
         label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block}, chains={nchains})"
         # single-chain vs single-chain alongside the aggregate ratio, so the
         # artifact is self-honest about what the 10^3x-scale number compares
-        ours_1, _, _ = measure_engine(n, m, block, niter, model=model)
+        ours_1, _, _, spec1, data1 = measure_engine(n, m, block, niter, model=model)
         extra["single_chain_value"] = round(ours_1, 1)
+        extra.update(hbm_stats(spec1, data1, m / max(ours_1, 1e-9)))
     else:
-        ours, elapsed, iters = measure_engine(n, m, block, niter, model=model)
+        ours, elapsed, iters, spec1, data1 = measure_engine(n, m, block, niter, model=model)
         label = f"SNP-updates/s ({model}, n={n}, m={m}, block={block})"
+        extra.update(hbm_stats(spec1, data1, m / max(ours, 1e-9)))
     base = measure_reference_emulation(min(n, 4096), min(m, 4096))
     if "single_chain_value" in extra:
         extra["single_chain_vs_baseline"] = round(extra["single_chain_value"] / base, 3)

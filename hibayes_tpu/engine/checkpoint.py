@@ -35,7 +35,9 @@ def save_checkpoint(path: str, state, samples_so_far: dict):
     with open(path + ".meta.json", "w") as f:
         json.dump({"n_leaves": len(leaves),
                    "sample_keys": sorted(samples_so_far.keys()),
-                   "it": int(np.asarray(leaves[0]))}, f)
+                   # leaves[0] is the iteration counter: scalar for a single
+                   # chain, (K,) for a batched multi-chain state
+                   "it": int(np.asarray(leaves[0]).reshape(-1)[0])}, f)
 
 
 def load_checkpoint(path: str, template_state):

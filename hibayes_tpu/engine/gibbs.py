@@ -134,6 +134,34 @@ class GibbsSpec:
     seg_sizes: tuple = ()
     seg_real: tuple = ()
     resync_every: int = 256  # periodic f32 drift resync of yadj/u
+    # SNP-shard sweep schedule under an m-MP mesh (SURVEY §7 hard-part-1;
+    # the reference's hot loop is strictly sequential, src/Bayes.cpp:586-816):
+    #   "turn"       — exact: shards sweep one at a time, preserving the
+    #                  single-device block order (S-way capacity, ~1x speed)
+    #   "concurrent" — relaxed: ALL shards sweep their local blocks
+    #                  simultaneously against the residual frozen at round
+    #                  start, merged with one psum per round (S-way speedup;
+    #                  a Hogwild-blocked kernel — within-shard draws stay
+    #                  exactly sequential, cross-shard draws of one round
+    #                  don't condition on each other.  Genome-contiguous
+    #                  shards keep cross-shard LD weak; posterior agreement
+    #                  is validated empirically, tests/test_concurrent.py)
+    shard_schedule: str = "turn"
+    merge_rounds: int = 1    # concurrent: residual merges per iteration
+    # emulate the concurrent schedule with S virtual shards on ONE device
+    # (identical Markov kernel to the distributed concurrent run: each
+    # shard-group sweep starts from the round-start residual, deltas are
+    # summed) — drives single-chip accuracy studies and cost measurement
+    emulate_shards: int = 0
+
+    def __post_init__(self):
+        if self.shard_schedule not in ("turn", "concurrent"):
+            raise ValueError(
+                f"shard_schedule must be 'turn' or 'concurrent', got "
+                f"{self.shard_schedule!r}"
+            )
+        if self.merge_rounds < 1:
+            raise ValueError("merge_rounds must be >= 1")
 
     @property
     def model_index(self) -> int:
@@ -656,6 +684,18 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
         )
         return _post_sweep(spec, data, key, state, pre, sweep_out)
 
+    if (spec.shard_schedule == "concurrent" and spec.emulate_shards > 1
+            and ind_shard_count(mesh) <= 1):
+        # single-device emulation of the concurrent-shard schedule (same
+        # Markov kernel as the S-chip distributed run)
+        sweep_out = _run_sweep_k1(
+            partial(_sweep_concurrent_emu_mc, interpret=interp),
+            spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+            data.vx, pre["vei"], state.g, pre["rnd"], pre["vargL_in"],
+            pre["yadj"], pre["u"],
+        )
+        return _post_sweep(spec, data, key, state, pre, sweep_out)
+
     if ind_shard_count(mesh) > 1:
         # An ind-sharded mesh must NOT reach the monolithic Pallas kernels:
         # pallas_call has no GSPMD partitioning rule, so XLA would gather the
@@ -1027,6 +1067,196 @@ def _sweep_ind_hybrid_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx,
                                   u_b, z2_b, vargL_b, yadj_o, u_o)
 
 
+def _sweep_local_blocks(spec: GibbsSpec, consts_b, Xg, Wg, xpx_g, vx_g, gidx_g,
+                        vei_g, g_g, z_g, u_g, chi_g, z2_g, vargL_g, yadj, u, *,
+                        mc_fn, use_hybrid, has_ind, interp):
+    """Sweep the given SNP blocks for K chains against (yadj, u) — the
+    device-local unit shared by the turn schedule, the concurrent schedule
+    and the single-device concurrent emulation.
+
+    Blocked inputs: Xg (nbg, n_loc, B), Wg (nbg, B, B), per-SNP shared
+    xpx/vx/gidx (nbg, B), per-chain vei/g/z/u/chi/z2/vargL
+    (K, nbg, B[, n_fold]); yadj/u (K, n_loc).  Engine selection is static:
+    `mc_fn` (fused multi-chain Pallas sweep), the per-block hybrid (psum'd
+    r0 over `ind` + the (B, K) Pallas draw kernel), or the per-SNP XLA scan
+    vmapped over chains.  Returns
+    (ya2, u2, vargi (K,), vargR (K,), g_new (K, nbg*B), track, vargL_new).
+    """
+    from ..ops import blockgibbs
+
+    dt = yadj.dtype
+    nbg, B = Wg.shape[0], Wg.shape[2]
+    mg = nbg * B
+    K = yadj.shape[0]
+    flat = lambda x: x.reshape(-1, *x.shape[2:])
+    flatk = lambda x: x.reshape(x.shape[0], -1, *x.shape[3:])
+    xpx_l, vx_l, gidx_l = flat(xpx_g), flat(vx_g), flat(gidx_g)
+    vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l = (
+        flatk(a) for a in (vei_g, g_g, z_g, u_g, chi_g, z2_g, vargL_g)
+    )
+
+    if mc_fn is not None:
+        out = mc_fn(
+            spec, consts_b, Xg, Wg, xpx_l, vx_l, vei_l, g_l,
+            z_l, u_l, chi_l, z2_l, vargL_l, yadj, u,
+        )
+        g_new, track, vargL_new, ya2, u2, vargi, vargR = out
+        return ya2, u2, vargi, vargR, g_new, track, vargL_new
+
+    if use_hybrid:
+        F = jnp.float32
+
+        def pack_one(consts_k, vei, gg, z, uu, chi, vargL):
+            c = dict(consts_k)
+            c["vargL_vec"] = vargL
+            return blockgibbs._pack_rows(spec, c, xpx_l, vx_l, vei, gg, z, uu, chi)
+
+        P_loc = jax.vmap(pack_one)(consts_b, vei_l, g_l, z_l, u_l, chi_l, vargL_l)
+        P_blocks = blockgibbs.to_block_layout(P_loc, nbg, B)
+        logpi_row = consts_b["logpi"][:, 0].astype(F).reshape(1, K)
+
+        def block_body(carry, xs):
+            ya, uu = carry
+            Xb, Wb, P_b = xs
+            Xl = Xb.astype(dt)
+            r0 = jax.lax.dot_general(
+                Xl, ya, (((0,), (1,)), ((), ())),
+                preferred_element_type=F, precision=HIGHEST,
+            )  # (B, K)
+            if has_ind:
+                r0 = jax.lax.psum(r0, "ind")
+            dg, track_b = blockgibbs._s_block_draws(
+                spec, logpi_row, P_b, Wb.astype(F), r0, interpret=interp,
+            )
+            delta = jax.lax.dot_general(
+                dg, Xl, (((0,), (1,)), ((), ())),
+                preferred_element_type=F, precision=HIGHEST,
+            )  # (K, n_loc)
+            return (ya + delta, uu - delta), (dg, track_b)
+
+        (ya2, u2), (dgs, tracks) = jax.lax.scan(block_body, (yadj, u),
+                                                (Xg, Wg, P_blocks))
+        dg = dgs.transpose(2, 0, 1).reshape(K, mg)
+        track = tracks.transpose(2, 0, 1).reshape(K, mg)
+        g_new = g_l.astype(F) - dg
+        out = blockgibbs._phase_c_mc(
+            spec, consts_b, vx_l, vei_l, g_new, track.astype(jnp.int32),
+            u_l, z2_l, vargL_l, ya2, u2,
+        )
+        g_new, track, vargL_new, ya2, u2, vargi, vargR = out
+        return ya2, u2, vargi, vargR, g_new, track, vargL_new
+
+    # fallback: per-SNP XLA scan vmapped over chains (every configuration)
+    def one_chain(consts_k, vei_c, g_c, z_c, u_c, chi_c, z2_c, vargL_c,
+                  yadj_c, u_vec_c):
+        rb = lambda x: x.reshape(nbg, B, *x.shape[1:])
+
+        def block_body(carry, xs):
+            yadj_i, u_i, vargi, vargR = carry
+            Xb, Wb, xpxj, vxj, veij, gj, zj, uj, chij, z2j, vLj, gidxj = xs
+            Xl = Xb.astype(dt)
+            r0 = jnp.matmul(Xl.T, yadj_i, precision=HIGHEST)
+            if has_ind:
+                r0 = jax.lax.psum(r0, "ind")
+            (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
+                partial(_snp_scan_step, spec, consts_k),
+                (r0, vargi, vargR),
+                (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj, uj,
+                 chij, z2j, vLj),
+            )
+            dgb = gj - g_new_b
+            delta = jnp.matmul(Xl, dgb, precision=HIGHEST)
+            return (yadj_i + delta, u_i - delta, vargi, vargR), (
+                g_new_b, track_b, vargL_new_b)
+
+        (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
+            block_body,
+            (yadj_c, u_vec_c, jnp.zeros((), dt), jnp.zeros((), dt)),
+            (Xg, Wg, xpx_g, vx_g, rb(vei_c), rb(g_c), rb(z_c), rb(u_c),
+             rb(chi_c), rb(z2_c), rb(vargL_c), gidx_g),
+        )
+        return (ya2, u2, vargi, vargR, gn.reshape(mg), tr.reshape(mg),
+                vl.reshape(mg))
+
+    return jax.vmap(one_chain)(
+        consts_b, vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l, yadj, u,
+    )
+
+
+def _sweep_concurrent_emu_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks,
+                             xpx, vx, vei_b, g_b, z_b, u_b, chi_b, z2_b,
+                             vargL_b, yadj_b, u_vec_b, *, interpret=False):
+    """Single-device emulation of the concurrent-shard schedule with
+    S = spec.emulate_shards virtual shards and spec.merge_rounds merge
+    rounds — the SAME Markov kernel as the distributed concurrent run
+    (each virtual shard's group sweep starts from the round-start residual;
+    the deltas are summed, exactly what the psum merge computes), executed
+    sequentially on one chip.  Used for posterior-agreement studies and to
+    measure the per-round cost that an S-chip slice would pay per shard."""
+    dt = yadj_b.dtype
+    nb, n, B = X_blocks.shape
+    m_pad = nb * B
+    K = yadj_b.shape[0]
+    S, Rm = spec.emulate_shards, spec.merge_rounds
+    if nb % (S * Rm):
+        raise ValueError(
+            f"emulate_shards*merge_rounds ({S}x{Rm}) must divide the "
+            f"{nb} SNP blocks (prepare_gibbs_data(nblocks_multiple=...))"
+        )
+    nbg = nb // (S * Rm)
+    itemsize = X_blocks.dtype.itemsize
+    mc_fn = _select_sweep_mc(spec, n, K, dt, itemsize, interpret)
+
+    # global block index = s*(Rm*nbg) + r*nbg + t: shard-major, contiguous
+    # genome runs per shard (matches the mesh's PS("snp") block split)
+    def g5(x):  # (nb, ...) -> (Rm, S, nbg, ...)
+        return x.reshape(S, Rm, nbg, *x.shape[1:]).swapaxes(0, 1)
+
+    def g5b(v):  # per-SNP shared (m_pad,) -> (Rm, S, nbg, B)
+        return g5(v.reshape(nb, B))
+
+    def gk(x):  # per-chain (K, m_pad[, nf]) -> (Rm, S, K, nbg, B[, nf])
+        t = x.reshape(K, S, Rm, nbg, B, *x.shape[2:])
+        return t.transpose((2, 1, 0) + tuple(range(3, t.ndim)))
+
+    xs = (g5(X_blocks), g5(W_blocks), g5b(xpx), g5b(vx),
+          g5b(jnp.arange(m_pad)), gk(vei_b), gk(g_b), gk(z_b), gk(u_b),
+          gk(chi_b), gk(z2_b), gk(vargL_b))
+
+    def round_body(carry, xs_r):
+        ya0, u0, vi_t, vR_t = carry
+
+        def shard_body(acc, xs_s):
+            dya, du, vi_a, vR_a = acc
+            Xg, Wg, xpx_g, vx_g, gidx_g, vei_g, g_g, zz_g, uu_g, chi_g, \
+                z2_g, vL_g = xs_s
+            ya2, u2, vi, vR, gn, tr, vl = _sweep_local_blocks(
+                spec, consts_b, Xg, Wg, xpx_g, vx_g, gidx_g, vei_g, g_g,
+                zz_g, uu_g, chi_g, z2_g, vL_g, ya0, u0,
+                mc_fn=mc_fn, use_hybrid=False, has_ind=False, interp=interpret,
+            )
+            return (dya + (ya2 - ya0), du + (u2 - u0),
+                    vi_a + vi.astype(dt), vR_a + vR.astype(dt)), (
+                gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
+
+        (dya, du, vi, vR), (gns, trs, vls) = jax.lax.scan(
+            shard_body,
+            (jnp.zeros_like(ya0), jnp.zeros_like(u0),
+             jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
+            xs_r,
+        )
+        return (ya0 + dya, u0 + du, vi_t + vi, vR_t + vR), (gns, trs, vls)
+
+    (yadj, u, vargi, vargR), (G2, T2, V2) = jax.lax.scan(
+        round_body,
+        (yadj_b, u_vec_b, jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
+        xs,
+    )
+    # (Rm, S, K, mg) -> (K, S, Rm, mg) -> (K, m_pad) (global block order)
+    fin = lambda a: a.transpose(2, 1, 0, 3).reshape(K, m_pad)
+    return fin(G2), fin(T2), fin(V2), yadj, u, vargi, vargR
+
+
 def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
                        vargL_in, yadj, u, mesh):
     """Single-chain SNP-sharded sweep: the K=1 slice of
@@ -1093,135 +1323,79 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
 
     def body(X, W, pvst, pvkt, yadj, u, consts):
         xpx_b, vx_b, gidxb = pvst
-        sidx = jax.lax.axis_index("snp")
         nb_loc = X.shape[0]
         m_loc = nb_loc * B
-        flat = lambda x: x.reshape(-1, *x.shape[2:])
         flatk = lambda x: x.reshape(x.shape[0], -1, *x.shape[3:])
-        vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l = (flatk(a) for a in pvkt)
-        xpx_l, vx_l, gidx_l = flat(xpx_b), flat(vx_b), flat(gidxb)
+        sweep = partial(
+            _sweep_local_blocks, spec, consts,
+            mc_fn=mc_fn, use_hybrid=use_hybrid, has_ind=has_ind, interp=interp,
+        )
 
-        if use_hybrid:
-            def pack_one(consts_k, vei, gg, z, uu, chi, vargL):
-                c = dict(consts_k)
-                c["vargL_vec"] = vargL
-                return blockgibbs._pack_rows(
-                    spec, c, xpx_l, vx_l, vei, gg, z, uu, chi)
-
-            P_loc = jax.vmap(pack_one)(
-                consts, vei_l, g_l, z_l, u_l, chi_l, vargL_l)
-            R = P_loc.shape[1]
-            P_blocks = blockgibbs.to_block_layout(P_loc, nb_loc, B)
-            logpi_row = consts["logpi"][:, 0].astype(jnp.float32).reshape(1, K)
-
-        if mc_fn is not None:
-            def local_sweep(args):
-                yadj, u = args
-                out = mc_fn(
-                    spec, consts, X, W, xpx_l, vx_l, vei_l, g_l,
-                    z_l, u_l, chi_l, z2_l, vargL_l, yadj, u,
+        if spec.shard_schedule == "concurrent":
+            # all shards sweep simultaneously; one residual merge per round
+            Rm = spec.merge_rounds
+            if nb_loc % Rm:
+                raise ValueError(
+                    f"merge_rounds ({Rm}) must divide the {nb_loc} local "
+                    "SNP blocks (prepare_gibbs_data(nblocks_multiple=...))"
                 )
-                g_new, track, vargL_new, ya2, u2, vargi, vargR = out
-                return ya2, u2, vargi, vargR, g_new, track, vargL_new
-        elif use_hybrid:
-            def local_sweep(args):
-                yadj, u = args
+            nbg = nb_loc // Rm
+            grp = lambda x: x.reshape(Rm, nbg, *x.shape[1:])
+            grpk = lambda x: x.reshape(
+                x.shape[0], Rm, nbg, *x.shape[2:]).swapaxes(0, 1)
+            xs = (grp(X), grp(W), tuple(grp(a) for a in pvst),
+                  tuple(grpk(a) for a in pvkt))
 
-                def block_body(carry, xs):
-                    ya, uu = carry
-                    Xb, Wb, P_b = xs
-                    Xl = Xb.astype(dt)
-                    r0 = jax.lax.dot_general(
-                        Xl, ya, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=HIGHEST,
-                    )  # (B, K)
-                    if has_ind:
-                        r0 = jax.lax.psum(r0, "ind")
-                    dg, track_b = blockgibbs._s_block_draws(
-                        spec, logpi_row, P_b, Wb.astype(jnp.float32), r0,
-                        interpret=interp,
-                    )
-                    delta = jax.lax.dot_general(
-                        dg, Xl, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=HIGHEST,
-                    )  # (K, n_loc)
-                    return (ya + delta, uu - delta), (dg, track_b)
+            def round_body(carry, xs_r):
+                ya, uu, vi_t, vR_t = carry
+                Xr, Wr, (xpx_r, vx_r, gidx_r), pvkr = xs_r
+                ya2, u2, vi, vR, gn, tr, vl = sweep(
+                    Xr, Wr, xpx_r, vx_r, gidx_r, *pvkr, ya, uu)
+                ya = ya + jax.lax.psum(ya2 - ya, "snp")
+                uu = uu + jax.lax.psum(u2 - uu, "snp")
+                return (ya, uu, vi_t + vi.astype(dt),
+                        vR_t + vR.astype(dt)), (
+                    gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
 
-                (ya2, u2), (dgs, tracks) = jax.lax.scan(
-                    block_body, (yadj, u), (X, W, P_blocks))
-                dg = dgs.transpose(2, 0, 1).reshape(K, m_loc)
-                track = tracks.transpose(2, 0, 1).reshape(K, m_loc)
-                g_new = g_l.astype(jnp.float32) - dg
-                out = blockgibbs._phase_c_mc(
-                    spec, consts, vx_l, vei_l, g_new, track.astype(jnp.int32),
-                    u_l, z2_l, vargL_l, ya2, u2,
-                )
-                g_new, track, vargL_new, ya2, u2, vargi, vargR = out
-                return ya2, u2, vargi, vargR, g_new, track, vargL_new
+            (yadj, u, vargi, vargR), (gns, trs, vls) = jax.lax.scan(
+                round_body,
+                (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt)), xs)
+            cat = lambda a: a.swapaxes(0, 1).reshape(K, m_loc)
+            g_new, track, vargL_new = cat(gns), cat(trs), cat(vls)
         else:
-            def one_chain(consts_k, vei_c, g_c, z_c, u_c, chi_c, z2_c,
-                          vargL_c, yadj_c, u_vec_c):
-                rb = lambda x: x.reshape(nb_loc, B, *x.shape[1:])
-
-                def block_body(carry, xs):
-                    yadj, u, vargi, vargR = carry
-                    Xb, Wb, xpxj, vxj, veij, gj, zj, uj, chij, z2j, vLj, gidxj = xs
-                    Xl = Xb.astype(dt)
-                    r0 = jnp.matmul(Xl.T, yadj, precision=HIGHEST)
-                    if has_ind:
-                        r0 = jax.lax.psum(r0, "ind")
-                    (r_fin, vargi, vargR), (g_new_b, track_b, vargL_new_b) = jax.lax.scan(
-                        partial(_snp_scan_step, spec, consts_k),
-                        (r0, vargi, vargR),
-                        (jnp.arange(B), gidxj, Wb, xpxj, vxj, veij, gj, zj,
-                         uj, chij, z2j, vLj),
-                    )
-                    dg = gj - g_new_b
-                    delta = jnp.matmul(Xl, dg, precision=HIGHEST)
-                    return (yadj + delta, u - delta, vargi, vargR), (
-                        g_new_b, track_b, vargL_new_b)
-
-                (ya2, u2, vargi, vargR), (gn, tr, vl) = jax.lax.scan(
-                    block_body,
-                    (yadj_c, u_vec_c, jnp.zeros((), dt), jnp.zeros((), dt)),
-                    (X, W, xpx_b, vx_b, rb(vei_c), rb(g_c), rb(z_c), rb(u_c),
-                     rb(chi_c), rb(z2_c), rb(vargL_c), gidxb),
-                )
-                return (ya2, u2, vargi, vargR, gn.reshape(m_loc),
-                        tr.reshape(m_loc), vl.reshape(m_loc))
+            sidx = jax.lax.axis_index("snp")
+            g_l = flatk(pvkt[1])
+            vargL_l = flatk(pvkt[6])
 
             def local_sweep(args):
-                yadj, u = args
-                return jax.vmap(one_chain)(
-                    consts, vei_l, g_l, z_l, u_l, chi_l, z2_l, vargL_l,
-                    yadj, u,
-                )
+                ya, uu = args
+                return sweep(X, W, xpx_b, vx_b, gidxb, *pvkt, ya, uu)
 
-        def skip(args):
-            yadj, u = args
-            return (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
+            def skip(args):
+                ya, uu = args
+                return (ya, uu, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
+                        g_l.astype(dt), jnp.zeros((K, m_loc), jnp.int32),
+                        vargL_l.astype(dt))
+
+            def turn(carry, s):
+                ya, uu, vargi_t, vargR_t, g_cur, tr_cur, vl_cur = carry
+                act = sidx == s
+                ya2, u2, vargi, vargR, gn, tr, vl = jax.lax.cond(
+                    act, local_sweep, skip, (ya, uu))
+                # merge this shard's residual corrections into every replica
+                ya = ya + jax.lax.psum(ya2 - ya, "snp")
+                uu = uu + jax.lax.psum(u2 - uu, "snp")
+                g_cur = jnp.where(act, gn.astype(dt), g_cur)
+                tr_cur = jnp.where(act, tr.astype(jnp.int32), tr_cur)
+                vl_cur = jnp.where(act, vl.astype(dt), vl_cur)
+                return (ya, uu, vargi_t + vargi.astype(dt),
+                        vargR_t + vargR.astype(dt), g_cur, tr_cur, vl_cur), None
+
+            init = (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
                     g_l.astype(dt), jnp.zeros((K, m_loc), jnp.int32),
                     vargL_l.astype(dt))
-
-        def turn(carry, s):
-            yadj, u, vargi_t, vargR_t, g_cur, tr_cur, vl_cur = carry
-            act = sidx == s
-            ya2, u2, vargi, vargR, gn, tr, vl = jax.lax.cond(
-                act, local_sweep, skip, (yadj, u))
-            # merge this shard's residual corrections into every replica
-            yadj = yadj + jax.lax.psum(ya2 - yadj, "snp")
-            u = u + jax.lax.psum(u2 - u, "snp")
-            g_cur = jnp.where(act, gn.astype(dt), g_cur)
-            tr_cur = jnp.where(act, tr.astype(jnp.int32), tr_cur)
-            vl_cur = jnp.where(act, vl.astype(dt), vl_cur)
-            return (yadj, u, vargi_t + vargi.astype(dt),
-                    vargR_t + vargR.astype(dt), g_cur, tr_cur, vl_cur), None
-
-        init = (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt),
-                g_l.astype(dt), jnp.zeros((K, m_loc), jnp.int32),
-                vargL_l.astype(dt))
-        (yadj, u, vargi, vargR, g_new, track, vargL_new), _ = jax.lax.scan(
-            turn, init, jnp.arange(S))
+            (yadj, u, vargi, vargR, g_new, track, vargL_new), _ = jax.lax.scan(
+                turn, init, jnp.arange(S))
         vargi = jax.lax.psum(vargi, "snp")
         vargR = jax.lax.psum(vargR, "snp")
         return (g_new.reshape(K, nb_loc, B), track.reshape(K, nb_loc, B),
@@ -1446,6 +1620,7 @@ def prepare_gibbs_data(
     y, M, *, C=None, r_codes=(), r_nlevels=(), fold=None, windindx=None, nw=0,
     K=None, Kval=None, epsl_yJ=None, epsl_A=None, epsl_codes=None, qe=0,
     block=64, dtype=jnp.float32, geno_dtype=None, pad_n="auto",
+    nblocks_multiple=1,
 ):
     """Build the device-resident GibbsData (block layout, Gram matrices, stats).
 
@@ -1486,6 +1661,12 @@ def prepare_gibbs_data(
     block = int(min(block, pad_to_block(m, 8)))
     m_pad = pad_to_block(m, block)
     nblocks = m_pad // block
+    if nblocks_multiple > 1:
+        # SNP-sharded meshes need the block count divisible by the shard
+        # count (x merge rounds for the concurrent schedule); extra blocks
+        # are all-zero padding (vx == 0 -> inactive, exact no-ops)
+        nblocks = -(-nblocks // int(nblocks_multiple)) * int(nblocks_multiple)
+        m_pad = nblocks * block
 
     # epsilon-term A-inverse(nn): dense array (small qe) or scipy sparse —
     # sparse inputs pack into EpslSparse (diag blocks + per-block COO) so the
@@ -1768,13 +1949,20 @@ def _run_record_segment(spec: GibbsSpec, k: int, data: GibbsData, base_key, stat
     return jax.lax.scan(record_body, state, None, length=k)
 
 
+def _it_of(state) -> int:
+    """Iteration counter: scalar for one chain, it[0] for a batched state
+    (all chains share the counter)."""
+    return int(np.asarray(state.it).reshape(-1)[0])
+
+
 def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
                    verbose, mesh=None, burn_fn=None, record_fn=None):
     """Chunked execution with checkpointing + reference-style progress rows
     (iter / NnzSnp / pi / Vg / Ve / h2 / time left — src/Bayes.cpp:884-914).
     Engine-agnostic: the summary engine reuses it by passing its own
     burn/record segment functions (state only needs .it/.track/.pi/.vara/
-    .vare leaves for the progress row)."""
+    .vare leaves for the progress row), and multi-chain runners pass batched
+    segment functions (leaves carry a leading K axis)."""
     import time as _time
 
     from .checkpoint import load_checkpoint, save_checkpoint
@@ -1795,7 +1983,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
                 samples_parts.append(prev)
                 n_done_records = next(iter(prev.values())).shape[0]
             if verbose:
-                print(f"resumed from iteration {int(state.it)} "
+                print(f"resumed from iteration {_it_of(state)} "
                       f"({n_done_records} records collected)")
 
     t0 = _time.time()
@@ -1805,21 +1993,21 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
         if it_done <= 0:
             return "--"
         rate = (_time.time() - t0) / it_done
-        sec = int(rate * (total_iters - int(state.it)))
+        sec = int(rate * (total_iters - _it_of(state)))
         return f"{sec // 3600:02d}h{sec % 3600 // 60:02d}m{sec % 60:02d}s"
 
-    it_at_start = int(state.it)
+    it_at_start = _it_of(state)
     # finish burn-in in chunks
     burn_chunk = max(chunk_records * spec.thin, 1)
-    while int(state.it) < spec.nburn:
-        k = min(burn_chunk, spec.nburn - int(state.it))
+    while _it_of(state) < spec.nburn:
+        k = min(burn_chunk, spec.nburn - _it_of(state))
         state = jax.block_until_ready(
             burn_fn(spec, k, data, base_key, state)
         )
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
         if verbose:
-            _print_progress(spec, state, eta(int(state.it) - it_at_start))
+            _print_progress(spec, state, eta(_it_of(state) - it_at_start))
     # record phase in chunks
     while n_done_records < spec.n_records:
         k = min(chunk_records, spec.n_records - n_done_records)
@@ -1830,7 +2018,7 @@ def _run_segmented(spec, data, base_key, state0, checkpoint_path, chunk_records,
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, _concat_samples(samples_parts))
         if verbose:
-            _print_progress(spec, state, eta(int(state.it) - it_at_start))
+            _print_progress(spec, state, eta(_it_of(state) - it_at_start))
     return state, _concat_samples(samples_parts)
 
 
@@ -1844,15 +2032,21 @@ def _concat_samples(parts):
 def _print_progress(spec, state, eta_str):
     # reduce on device: np.asarray(track) would ship the full m-length vector
     # across the host link on every progress row (real cost at m-MP scale)
-    nnz = int(jnp.sum(state.track > 0))
+    batched = np.asarray(state.it).ndim > 0  # multi-chain state: show chain 0
+    track = state.track[0] if batched else state.track
+    nnz = int(jnp.sum(track > 0))
     if spec.model_index in (1, 2, 5):
         nnz = spec.m - spec.nvar0
-    pi_str = " ".join(f"{p:.4f}" for p in np.asarray(state.pi))
-    vt = float(state.vara) + float(state.vare)
+    pi = np.asarray(state.pi)[0] if batched else np.asarray(state.pi)
+    vara = float(np.asarray(state.vara).reshape(-1)[0])
+    vare = float(np.asarray(state.vare).reshape(-1)[0])
+    pi_str = " ".join(f"{p:.4f}" for p in pi)
+    vt = vara + vare
+    tag = f"  [chain 1/{len(np.asarray(state.it))}]" if batched else ""
     print(
-        f" {int(state.it):>6d}  {nnz:>6d}  {pi_str}  "
-        f"Vg {float(state.vara):.4f}  Ve {float(state.vare):.4f}  "
-        f"h2 {float(state.vara) / max(vt, 1e-30):.4f}  {eta_str}"
+        f" {_it_of(state):>6d}  {nnz:>6d}  {pi_str}  "
+        f"Vg {vara:.4f}  Ve {vare:.4f}  "
+        f"h2 {vara / max(vt, 1e-30):.4f}  {eta_str}{tag}"
     )
 
 
@@ -1941,6 +2135,15 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
         )
         return _post_sweep_batch(spec, data, keys, states, pre, sweep_out)
     ind_sharded = ind_shard_count(mesh) > 1
+    if (spec.shard_schedule == "concurrent" and spec.emulate_shards > 1
+            and not ind_sharded):
+        z_b, u_b, chi_b, z2_b = pre["rnd"]
+        sweep_out = _sweep_concurrent_emu_mc(
+            spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
+            data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,
+            pre["vargL_in"], pre["yadj"], pre["u"], interpret=interp,
+        )
+        return _post_sweep_batch(spec, data, keys, states, pre, sweep_out)
     sweep_fn = None
     if ind_sharded:
         if spec.use_pallas and hybrid_draws_supported(spec, dt):
@@ -2012,27 +2215,73 @@ def _run_all_multi(spec: GibbsSpec, data: GibbsData, chain_keys, states,
     return states, samples
 
 
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_burn_segment_multi(spec: GibbsSpec, k: int, data: GibbsData,
+                            chain_keys, states, mesh=None):
+    step = lambda ss: one_iteration_batch(spec, data, chain_keys, ss, mesh=mesh)
+    return jax.lax.fori_loop(0, k, lambda i, ss: step(ss), states)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_record_segment_multi(spec: GibbsSpec, k: int, data: GibbsData,
+                              chain_keys, states, mesh=None):
+    step = lambda ss: one_iteration_batch(spec, data, chain_keys, ss, mesh=mesh)
+
+    def record_body(ss, _):
+        ss = jax.lax.fori_loop(0, spec.thin, lambda i, s2: step(s2), ss)
+        return ss, jax.vmap(lambda s1: _snapshot(spec, s1))(ss)
+
+    # records-major (k, K, ...) so segmented chunks concatenate on axis 0;
+    # the caller swaps to (K, n_records, ...) at the end
+    return jax.lax.scan(record_body, states, None, length=k)
+
+
 def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
-               seed=666666, nchains=4, mesh=None):
+               seed=666666, nchains=4, mesh=None, checkpoint_path=None,
+               progress=False, chunk_records=0):
     """Run `nchains` independent chains (distinct PRNG streams, identical
     data/priors).  Returns (states, samples, extras) where samples arrays
     have leading axes (nchains, n_records, ...), plus per-parameter R-hat
-    (Gelman-Rubin) diagnostics in extras."""
+    (Gelman-Rubin) diagnostics in extras.  With `checkpoint_path` or
+    `progress`, execution is chunked: the batched state + collected samples
+    persist after each chunk and a killed multi-chain run resumes
+    bit-identically (randomness keys off each chain's iteration counter)."""
     base = jax.random.PRNGKey(seed)
     chain_keys = jax.random.split(base, nchains)
     state0 = init_state(spec, data, priors, pi_init)
     states0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (nchains,) + x.shape), state0
     )
+    segmented = checkpoint_path is not None or progress
+    if chunk_records <= 0:
+        chunk_records = max(spec.n_records // 10, 1)
+    burn_fn = lambda sp, k, d, key, st: _run_burn_segment_multi(
+        sp, k, d, chain_keys, st, mesh)
+    record_fn = lambda sp, k, d, key, st: _run_record_segment_multi(
+        sp, k, d, chain_keys, st, mesh)
     if mesh is not None:
         from ..parallel.mesh import shard_gibbs_data
 
         data = shard_gibbs_data(data, mesh)
         with mesh:
-            states, samples = _run_all_multi(spec, data, chain_keys, states0, mesh)
+            if segmented:
+                states, samples = _run_segmented(
+                    spec, data, None, states0, checkpoint_path, chunk_records,
+                    progress, mesh=mesh, burn_fn=burn_fn, record_fn=record_fn,
+                )
+            else:
+                states, samples = _run_all_multi(spec, data, chain_keys, states0, mesh)
+    elif segmented:
+        states, samples = _run_segmented(
+            spec, data, None, states0, checkpoint_path, chunk_records,
+            progress, burn_fn=burn_fn, record_fn=record_fn,
+        )
     else:
         states, samples = _run_all_multi(spec, data, chain_keys, states0)
     states, samples = jax.block_until_ready((states, samples))
+    if segmented:
+        # segmented chunks are records-major: (n_records, K, ...) -> (K, n_records, ...)
+        samples = {k: np.swapaxes(np.asarray(v), 0, 1) for k, v in samples.items()}
 
     nzct = spec.n_records * spec.thin
     pip = states.nzrate / nzct  # (nchains, m_pad)

@@ -799,11 +799,35 @@ def _run_all_s_multi(spec: GibbsSpec, data: SGibbsData, chain_keys, states):
     return states, samples
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_s_burn_segment_multi(spec: GibbsSpec, k: int, data: SGibbsData,
+                              chain_keys, states):
+    step = lambda ss: one_s_iteration_batch(spec, data, chain_keys, ss)
+    return jax.lax.fori_loop(0, k, lambda i, ss: step(ss), states)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_s_record_segment_multi(spec: GibbsSpec, k: int, data: SGibbsData,
+                                chain_keys, states):
+    step = lambda ss: one_s_iteration_batch(spec, data, chain_keys, ss)
+
+    def record_body(ss, _):
+        ss = jax.lax.fori_loop(0, spec.thin, lambda i, s2: step(s2), ss)
+        return ss, jax.vmap(lambda s1: _s_snapshot(spec, s1))(ss)
+
+    # records-major (k, K, ...); the caller swaps axes at the end
+    return jax.lax.scan(record_body, states, None, length=k)
+
+
 def run_s_chains(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
-                 seed=666666, nchains=4):
+                 seed=666666, nchains=4, checkpoint_path=None, progress=False,
+                 chunk_records=0):
     """K independent summary chains with split-R-hat diagnostics; the
     transposed segment kernel runs every chain's sequential sweep on the VPU
-    lanes of one grid pass (the reference runs a single chain only)."""
+    lanes of one grid pass (the reference runs a single chain only).  With
+    `checkpoint_path`/`progress`, execution is chunked and a killed run
+    resumes bit-identically (same machinery as the individual engine)."""
+    from .gibbs import _run_segmented
     from .gibbs import rhat_diagnostics as G_rhat_diagnostics
 
     base = jax.random.PRNGKey(seed)
@@ -812,8 +836,24 @@ def run_s_chains(spec: GibbsSpec, data: SGibbsData, priors: Priors, pi_init,
     states0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (nchains,) + x.shape), state0
     )
-    states, samples = _run_all_s_multi(spec, data, chain_keys, states0)
-    states, samples = jax.block_until_ready((states, samples))
+    segmented = checkpoint_path is not None or progress
+    if segmented:
+        if chunk_records <= 0:
+            chunk_records = max(spec.n_records // 10, 1)
+        states, samples = _run_segmented(
+            spec, data, None, states0, checkpoint_path, chunk_records,
+            progress,
+            burn_fn=lambda sp, k, d, key, st: _run_s_burn_segment_multi(
+                sp, k, d, chain_keys, st),
+            record_fn=lambda sp, k, d, key, st: _run_s_record_segment_multi(
+                sp, k, d, chain_keys, st),
+        )
+        states = jax.block_until_ready(states)
+        samples = {k: np.swapaxes(np.asarray(v), 0, 1)
+                   for k, v in samples.items()}
+    else:
+        states, samples = _run_all_s_multi(spec, data, chain_keys, states0)
+        states, samples = jax.block_until_ready((states, samples))
 
     nzct = spec.n_records * spec.thin
     pip = states.nzrate / nzct

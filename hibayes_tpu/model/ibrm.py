@@ -130,7 +130,18 @@ def ibrm(
     progress=False,
     nchains=1,
     mesh=None,
+    shard_schedule="turn",
+    merge_rounds=1,
+    emulate_shards=0,
 ) -> BlrMod:
+    """shard_schedule: how an m-MP (snp-sharded) mesh schedules the sweep —
+    "turn" (default) is the exact serialised schedule; "concurrent" runs all
+    shards simultaneously against the round-start residual with
+    `merge_rounds` psum merges per iteration (relaxed kernel, ~S-times
+    faster; posterior agreement validated in tests/test_concurrent.py).
+    emulate_shards > 1 runs the concurrent schedule with that many VIRTUAL
+    shards on a single device (same Markov kernel; for studies/projections).
+    """
     if method not in METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {METHODS}")
     if data is None:
@@ -175,10 +186,16 @@ def ibrm(
 
     # integer genotypes stay int8 in HBM (4x capacity/bandwidth)
     geno_dtype = "int8" if np.issubdtype(np.asarray(M_phen).dtype, np.integer) else None
+    # SNP-sharded meshes / the concurrent emulation need the block count
+    # divisible by shards (x merge rounds for the concurrent schedule)
+    snp_shards = int(mesh.shape.get("snp", 1)) if mesh is not None else 1
+    s_eff = snp_shards if snp_shards > 1 else max(int(emulate_shards), 1)
+    nbm = s_eff * (int(merge_rounds) if shard_schedule == "concurrent" else 1)
     gdata = G.prepare_gibbs_data(
         y, M_phen, C=mf.X, r_codes=tuple(mf.R_codes), r_nlevels=nlevels,
         fold=fold, windindx=windindx, nw=nw, K=K, Kval=Kval,
         block=block, dtype=dtype, geno_dtype=geno_dtype,
+        nblocks_multiple=nbm,
     )
     vx = np.asarray(gdata.vx)
     nvar0 = int((vx[:m] == 0).sum())
@@ -196,6 +213,8 @@ def ibrm(
         dfr=pr.dfr, s2r=pr.s2r, s2varg=pr.s2varg, lambda_rate0=pr.lambda_rate0,
         use_bslmm=use_bslmm,
         use_pallas=dtype == jnp.float32 and jax.default_backend() != "cpu",
+        shard_schedule=shard_schedule, merge_rounds=int(merge_rounds),
+        emulate_shards=int(emulate_shards),
     )
 
     if verbose:
@@ -207,12 +226,18 @@ def ibrm(
     chunk_records = max(int(printfreq) // max(thin, 1), 1) if printfreq else 0
     if nchains > 1:
         state, samples, extras = G.run_chains(
-            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh,
+            checkpoint_path=checkpoint,
         )
         rhat = extras.get("rhat")
         # flatten (nchains, records, ...) -> (nchains*records, ...) for summaries
         samples = {
-            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            # explicit chain*record count: a -1 dim is ambiguous for
+            # empty parameters (e.g. beta with no covariates)
+            k: np.asarray(v).reshape(
+                (np.asarray(v).shape[0] * np.asarray(v).shape[1],)
+                + np.asarray(v).shape[2:]
+            )
             for k, v in samples.items()
         }
     else:

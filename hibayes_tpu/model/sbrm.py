@@ -29,6 +29,13 @@ S_METHODS = (
 )
 
 
+# above this SNP count a user-supplied scipy-sparse LD auto-routes to the
+# O(nnz) tiled layout — SparseLD.from_scipy densifies to (m, m), which is
+# exactly the memory blow-up sparse LD exists to avoid (the reference keeps
+# arma::sp_mat end-to-end, src/SBayesS.cpp:21, src/tXXmat.cpp:147-152)
+_SPARSE_DENSIFY_LIMIT = 20_000
+
+
 def _coerce_ld(ldm):
     if isinstance(ldm, (DenseLD, SparseLD, BlockDiagLD, TiledSparseLD)):
         return ldm
@@ -36,6 +43,10 @@ def _coerce_ld(ldm):
         import scipy.sparse as sp
 
         if sp.issparse(ldm):
+            if ldm.shape[0] > _SPARSE_DENSIFY_LIMIT:
+                # O(nnz) host/device memory at any m; tile=128 so the fused
+                # tiled Pallas sweep (supports_s_tiled) runs it
+                return TiledSparseLD.from_scipy(ldm, tile=128)
             return SparseLD.from_scipy(ldm)
     except ImportError:
         pass
@@ -136,11 +147,17 @@ def sbrm(
                 "with mesh=, or multiple chains without a mesh."
             )
         state, samples, extras = SG.run_s_chains(
-            spec, data, pr, Pi, seed=seed, nchains=nchains
+            spec, data, pr, Pi, seed=seed, nchains=nchains,
+            checkpoint_path=checkpoint, progress=progress,
         )
         rhat = extras.get("rhat")
         samples = {
-            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            # explicit chain*record count: a -1 dim is ambiguous for
+            # empty parameters (e.g. beta with no covariates)
+            k: np.asarray(v).reshape(
+                (np.asarray(v).shape[0] * np.asarray(v).shape[1],)
+                + np.asarray(v).shape[2:]
+            )
             for k, v in samples.items()
         }
     else:

@@ -72,6 +72,8 @@ def ssbrm(
     impute="auto",
     chunk_cols=4096,
     mesh=None,
+    checkpoint=None,
+    progress=False,
 ) -> BlrMod:
     """impute: "direct" materialises the dense (n_ng, n_g) operator and the
     dense epsilon A-inverse (the reference's R-side path, R/ssbayes.r:296-307
@@ -289,19 +291,32 @@ def ssbrm(
         print(f"    Observations with imputed genotype {ne}")
     t0 = time.time()
     rhat = None
+    # reference UX: per-printfreq progress rows (Bayes.cpp:884-914) apply to
+    # single-step runs too — the longest-running front-end must be resumable
+    progress = progress or (verbose and printfreq > 0 and nchains == 1)
+    chunk_records = max(int(printfreq) // max(thin, 1), 1) if printfreq else 0
     if nchains > 1:
         state, samples, extras = G.run_chains(
-            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh
+            spec, gdata, pr, Pi, seed=seed, nchains=nchains, mesh=mesh,
+            checkpoint_path=checkpoint,
         )
         rhat = extras.get("rhat")
         # flatten (nchains, records, ...) -> (nchains*records, ...)
         samples = {
-            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            # explicit chain*record count: a -1 dim is ambiguous for
+            # empty parameters (e.g. beta with no covariates)
+            k: np.asarray(v).reshape(
+                (np.asarray(v).shape[0] * np.asarray(v).shape[1],)
+                + np.asarray(v).shape[2:]
+            )
             for k, v in samples.items()
         }
     else:
-        state, samples, extras = G.run_chain(spec, gdata, pr, Pi, seed=seed,
-                                             mesh=mesh)
+        state, samples, extras = G.run_chain(
+            spec, gdata, pr, Pi, seed=seed, mesh=mesh,
+            checkpoint_path=checkpoint, progress=progress,
+            chunk_records=chunk_records,
+        )
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC finished: {spec.niter_eff} iterations in {elapsed:.1f}s")

@@ -45,6 +45,18 @@ F32 = jnp.float32
 NEG_BIG = -1e30
 POS_BIG = 1e30
 
+# v5e has 128 MiB of VMEM per core (measured empirically on this chip: a
+# 127 MiB scratch compiles, 130 MiB does not), but Mosaic's DEFAULT
+# vmem_limit is far lower — kernels must raise it explicitly.  The budget
+# below is what the supports_* capacity checks plan against; the compiler
+# limit adds headroom for Mosaic's own temporaries.  The headline win: the
+# int8-resident transposed sweep (X block VMEM-resident, ONE HBM pass per
+# iteration) now reaches n≈90k rows at block=128 instead of n≈16k — at the
+# 50k-individual anchor this halves the sweep's HBM traffic vs the
+# chunked-DMA kernel (which reads X twice: r0 pass + delta pass).
+VMEM_BUDGET = 96 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
+
 
 def _pack_rows(spec: GibbsSpec, consts, xpx, vx, vei, g, z_snp, u_snp, chi_snp):
     """Phase A: per-SNP coefficient rows, shape (R, m_pad).  Row order:
@@ -192,7 +204,7 @@ def supports(spec: GibbsSpec, n: int, dtype, geno_itemsize: int = 4) -> bool:
         + spec.block * spec.block * 4 * 2
         + n * 4 * 4
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
@@ -248,6 +260,7 @@ def sweep(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
             pltpu.VMEM((1, B), F32),    # track_s
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         scal, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj.astype(F32).reshape(1, n), u.astype(F32).reshape(1, n),
@@ -405,7 +418,7 @@ def supports_mc(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bool
         + K * n * 4 * 4
         + R * K * spec.block * 4 * 2
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
@@ -466,6 +479,7 @@ def sweep_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
             pltpu.VMEM((K, B), F32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         scal, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj_b.astype(F32), u_vec_b.astype(F32),
@@ -675,7 +689,7 @@ def supports_mc_t(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bo
         + spec.block * R_pad * K * 4 * 2        # P blocks
         + spec.block * K * 4 * 3                # r_local/dg/track scratch
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
@@ -731,6 +745,7 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
             pltpu.VMEM((B, K), F32),    # track_s
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj_b.astype(F32), u_vec_b.astype(F32),
@@ -818,7 +833,7 @@ def supports_mc_ti(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> b
         + spec.block * R_pad * K * 4 * 2        # P blocks
         + spec.block * K * 4 * 3                # r_local/dg/track
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
@@ -873,6 +888,7 @@ def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
             pltpu.VMEM((C, B), F32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj_b.astype(F32), u_vec_b.astype(F32),
@@ -997,7 +1013,7 @@ def supports_mc_tc(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> b
         + spec.block * R_pad * K * 4 * 2        # P blocks
         + spec.block * K * 4 * 3                # r_local/dg/track
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
@@ -1053,6 +1069,7 @@ def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         logpi_row, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj_b.astype(F32), u_vec_b.astype(F32),
@@ -1171,7 +1188,7 @@ def supports_s(spec: GibbsSpec, seg_sizes, dtype) -> bool:
         return False
     mc_max = max(seg_sizes) if seg_sizes else 0
     vmem = mc_max * spec.block * 4 * 2 + mc_max * 4 * 2
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_s_segment(spec: GibbsSpec, consts, LD_seg, r_seg, P_seg_blocks,
@@ -1214,6 +1231,7 @@ def sweep_s_segment(spec: GibbsSpec, consts, LD_seg, r_seg, P_seg_blocks,
             pltpu.VMEM((1, B), F32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         scal,
         P_seg_blocks,
@@ -1262,7 +1280,7 @@ def supports_s_t(spec: GibbsSpec, seg_sizes, K: int, dtype) -> bool:
         + spec.block * spec.block * 4 * 2
         + spec.block * K_lane * 4 * 5
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def _s_block_draws(spec: GibbsSpec, logpi_row, P_b, Wn, r0, interpret=False):
@@ -1286,6 +1304,7 @@ def _s_block_draws(spec: GibbsSpec, logpi_row, P_b, Wn, r0, interpret=False):
             pltpu.VMEM((B, K), F32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(logpi_row, P_b.reshape(1, B, R, K), Wn.reshape(1, B, B), r0)
     return dg, track_f
 
@@ -1447,7 +1466,7 @@ def supports_chunked(spec: GibbsSpec, n: int, dtype, geno_itemsize=4) -> bool:
         + spec.block * spec.block * 4 * 2
         + n * 4 * 4                                 # yadj/u in/out + scratch
     )
-    return vmem < 12 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_chunked(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
@@ -1501,6 +1520,7 @@ def sweep_chunked(spec: GibbsSpec, consts, X_blocks, W_blocks, xpx, vx, vei, g,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         scal, P_blocks, X_blocks, W_blocks.astype(F32),
         yadj.astype(F32).reshape(1, n), u.astype(F32).reshape(1, n),
@@ -1691,7 +1711,7 @@ def supports_s_tiled(spec: GibbsSpec, nbr: int, k_max: int, dtype) -> bool:
         + 2 * k_max * B * B * 4         # double-buffered tile row
         + 2 * 64 * B * 4                # P rows (generous R bound)
     )
-    return vmem < 13 * 1024 * 1024
+    return vmem < VMEM_BUDGET
 
 
 def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
@@ -1745,6 +1765,7 @@ def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
             pltpu.VMEM((1, B), F32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(
         scal,
         jnp.asarray(row_base, jnp.int32).reshape(1),

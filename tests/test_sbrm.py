@@ -239,3 +239,73 @@ def test_sbrm_dense_ld_mesh_warns(demo):
         fit = ht.sbrm(ma, ld, method="BayesCpi", niter=50, nburn=20,
                       verbose=False, mesh=mesh)
     assert np.isfinite(fit.alpha).all()
+
+
+def _banded_csr(m, bw=48, seed=0):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    diags, offs = [], []
+    for k in range(bw):
+        v = (0.8 ** k) * (0.5 + 0.5 * rng.random(m - k))
+        diags.append(v)
+        offs.append(k)
+        if k:
+            diags.append(v)
+            offs.append(-k)
+    A = sp.diags(diags, offs, shape=(m, m), format="csr")
+    return A
+
+
+def test_coerce_sparse_large_routes_tiled(monkeypatch):
+    """A large user-supplied scipy-sparse LD must NOT densify to (m, m)
+    (VERDICT r5 item 4; reference keeps arma::sp_mat end-to-end,
+    src/SBayesS.cpp:21)."""
+    import hibayes_tpu.model.sbrm as SB
+    from hibayes_tpu.data.ld import SparseLD
+    from hibayes_tpu.data.sparse_ld import TiledSparseLD
+
+    def boom(*a, **k):
+        raise AssertionError("SparseLD.from_scipy densified a large LD")
+
+    monkeypatch.setattr(SparseLD, "from_scipy", boom)
+    m = 100_000
+    A = _banded_csr(m, bw=8)
+    ld = SB._coerce_ld(A)
+    assert isinstance(ld, TiledSparseLD)
+    assert ld.m == m and ld.tile == 128
+    # O(nnz) storage: stored tiles cover only the band, far below m^2
+    assert ld.tiles.size < 0.01 * float(m) * m
+
+
+@pytest.mark.slow
+def test_sbrm_sparse_auto_route_matches_dense_route():
+    """Small-m sanity: a scipy CSR routed through the tiled layout gives the
+    same posterior as the (dense-materialised) SparseLD route."""
+    import hibayes_tpu.model.sbrm as SB
+
+    m, n_gwas = 256, 500
+    rng = np.random.default_rng(3)
+    X = rng.binomial(2, 0.35, (n_gwas, m)).astype(np.float64)
+    Xc = X - X.mean(0)
+    LD = (Xc.T @ Xc) / np.outer(np.linalg.norm(Xc, axis=0),
+                                np.linalg.norm(Xc, axis=0)).clip(1e-9)
+    LD[np.abs(LD) < 0.05] = 0.0
+    np.fill_diagonal(LD, 1.0)
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(LD)
+    beta = rng.normal(0, 0.1, m)
+    se = np.full(m, 0.05)
+    ss = np.column_stack([np.full(m, 0.3), beta, se, np.full(m, n_gwas)])
+
+    fit_dense = ht.sbrm(ss, SB._coerce_ld(A), method="BayesCpi",
+                        niter=1500, nburn=900, verbose=False, block=128)
+    from hibayes_tpu.data.sparse_ld import TiledSparseLD
+
+    fit_tiled = ht.sbrm(ss, TiledSparseLD.from_scipy(A, tile=128),
+                        method="BayesCpi", niter=1500, nburn=900,
+                        verbose=False)
+    corr = np.corrcoef(fit_dense.alpha, fit_tiled.alpha)[0, 1]
+    assert corr > 0.99, corr
+    assert abs(fit_dense.Vg - fit_tiled.Vg) < 0.4 * max(fit_dense.Vg, 1e-9)
