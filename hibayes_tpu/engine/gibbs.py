@@ -1340,28 +1340,40 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
                     "SNP blocks (prepare_gibbs_data(nblocks_multiple=...))"
                 )
             nbg = nb_loc // Rm
-            grp = lambda x: x.reshape(Rm, nbg, *x.shape[1:])
-            grpk = lambda x: x.reshape(
-                x.shape[0], Rm, nbg, *x.shape[2:]).swapaxes(0, 1)
-            xs = (grp(X), grp(W), tuple(grp(a) for a in pvst),
-                  tuple(grpk(a) for a in pvkt))
-
-            def round_body(carry, xs_r):
-                ya, uu, vi_t, vR_t = carry
-                Xr, Wr, (xpx_r, vx_r, gidx_r), pvkr = xs_r
+            if Rm == 1:
+                # single merge round: sweep the full local blocks directly —
+                # no scan, so XLA never copies an X slice per round
                 ya2, u2, vi, vR, gn, tr, vl = sweep(
-                    Xr, Wr, xpx_r, vx_r, gidx_r, *pvkr, ya, uu)
-                ya = ya + jax.lax.psum(ya2 - ya, "snp")
-                uu = uu + jax.lax.psum(u2 - uu, "snp")
-                return (ya, uu, vi_t + vi.astype(dt),
-                        vR_t + vR.astype(dt)), (
-                    gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
+                    X, W, xpx_b, vx_b, gidxb, *pvkt, yadj, u)
+                yadj = yadj + jax.lax.psum(ya2 - yadj, "snp")
+                u = u + jax.lax.psum(u2 - u, "snp")
+                vargi, vargR = vi.astype(dt), vR.astype(dt)
+                g_new = gn.astype(dt)
+                track = tr.astype(jnp.int32)
+                vargL_new = vl.astype(dt)
+            else:
+                grp = lambda x: x.reshape(Rm, nbg, *x.shape[1:])
+                grpk = lambda x: x.reshape(
+                    x.shape[0], Rm, nbg, *x.shape[2:]).swapaxes(0, 1)
+                xs = (grp(X), grp(W), tuple(grp(a) for a in pvst),
+                      tuple(grpk(a) for a in pvkt))
 
-            (yadj, u, vargi, vargR), (gns, trs, vls) = jax.lax.scan(
-                round_body,
-                (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt)), xs)
-            cat = lambda a: a.swapaxes(0, 1).reshape(K, m_loc)
-            g_new, track, vargL_new = cat(gns), cat(trs), cat(vls)
+                def round_body(carry, xs_r):
+                    ya, uu, vi_t, vR_t = carry
+                    Xr, Wr, (xpx_r, vx_r, gidx_r), pvkr = xs_r
+                    ya2, u2, vi, vR, gn, tr, vl = sweep(
+                        Xr, Wr, xpx_r, vx_r, gidx_r, *pvkr, ya, uu)
+                    ya = ya + jax.lax.psum(ya2 - ya, "snp")
+                    uu = uu + jax.lax.psum(u2 - uu, "snp")
+                    return (ya, uu, vi_t + vi.astype(dt),
+                            vR_t + vR.astype(dt)), (
+                        gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
+
+                (yadj, u, vargi, vargR), (gns, trs, vls) = jax.lax.scan(
+                    round_body,
+                    (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt)), xs)
+                cat = lambda a: a.swapaxes(0, 1).reshape(K, m_loc)
+                g_new, track, vargL_new = cat(gns), cat(trs), cat(vls)
         else:
             sidx = jax.lax.axis_index("snp")
             g_l = flatk(pvkt[1])

@@ -517,66 +517,111 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
     def body(tiles, cols, valid, pvt, zr, r_hat, consts):
         sidx = jax.lax.axis_index("snp")
         row_base = sidx * nb_loc
-        row_ids = row_base + jnp.arange(nb_loc)
         xpx_b, vx_b, vei_b, g_b, zb, ub, chib, z2b, vargL_b, gidxb = pvt
-        flat = lambda x: x.reshape(-1, *x.shape[2:])
 
-        if use_kernel:
-            c_pack = dict(consts)
-            c_pack["vargL_vec"] = flat(vargL_b)
-            P = blockgibbs._pack_rows(
-                spec, c_pack, flat(xpx_b), flat(vx_b), flat(vei_b),
-                flat(g_b), flat(zb), flat(ub), flat(chib),
-            )
-            if guard:
-                P = jnp.concatenate([
-                    P,
-                    blockgibbs._pack_retry_rows(
-                        spec, consts, flat(xpx_b), flat(vx_b), flat(vei_b),
-                        zr.reshape(zr.shape[0], -1),
-                    ),
-                ])
-            R = P.shape[0]
-            P_blocks = P.reshape(R, nb_loc, B).transpose(1, 0, 2)
-
-            def local_sweep(rh):
-                dg, track, r_new = blockgibbs.sweep_s_tiled(
-                    spec, consts, tiles, cols, valid, rh, P_blocks, spec.n,
-                    row_base=row_base, interpret=interp,
+        def sweep_rows(rh, tiles_g, cols_g, valid_g, pvt_g, base_g):
+            """Sweep a group of local tile rows against the full r_hat."""
+            nbg = tiles_g.shape[0]
+            flat = lambda x: x.reshape(-1, *x.shape[2:])
+            (xpx_g, vx_g, vei_g, g_g, z_g, u_g, chi_g, z2_g, vargL_g,
+             gidx_g, zr_g) = pvt_g
+            if use_kernel:
+                c_pack = dict(consts)
+                c_pack["vargL_vec"] = flat(vargL_g)
+                P = blockgibbs._pack_rows(
+                    spec, c_pack, flat(xpx_g), flat(vx_g), flat(vei_g),
+                    flat(g_g), flat(z_g), flat(u_g), flat(chi_g),
                 )
-                g_new = flat(g_b) - dg.astype(dt)
+                if guard:
+                    P = jnp.concatenate([
+                        P,
+                        blockgibbs._pack_retry_rows(
+                            spec, consts, flat(xpx_g), flat(vx_g),
+                            flat(vei_g),
+                            zr_g.reshape(zr_g.shape[0], -1),
+                        ),
+                    ])
+                R = P.shape[0]
+                P_blocks = P.reshape(R, nbg, B).transpose(1, 0, 2)
+                dg, track, r_new = blockgibbs.sweep_s_tiled(
+                    spec, consts, tiles_g, cols_g, valid_g, rh, P_blocks,
+                    spec.n, row_base=base_g, interpret=interp,
+                )
+                g_new = flat(g_g) - dg.astype(dt)
                 out = blockgibbs._phase_c(
-                    spec, c_pack, flat(vx_b), flat(vei_b), g_new, track,
-                    flat(ub), flat(z2b), flat(vargL_b),
+                    spec, c_pack, flat(vx_g), flat(vei_g), g_new, track,
+                    flat(u_g), flat(z2_g), flat(vargL_g),
                     jnp.zeros((1,), dt), jnp.zeros((1,), dt),
                 )
                 g_new, track, vargL_new, _, _, vi, vR = out
-                return (r_new.astype(dt), g_new.reshape(nb_loc, B),
-                        track.reshape(nb_loc, B), vargL_new.reshape(nb_loc, B),
+                return (r_new.astype(dt), g_new.reshape(nbg, B),
+                        track.reshape(nbg, B), vargL_new.reshape(nbg, B),
                         vi, vR)
+            row_ids = base_g + jnp.arange(nbg)
+            return _tiled_sweep_rows(
+                spec, consts, dt, tiles_g, cols_g, valid_g, pvt_g[:-1],
+                row_ids, rh)
+
+        pvt_full = pvt + (zr,)
+        if spec.shard_schedule == "concurrent":
+            # all shards sweep their local tile rows simultaneously against
+            # the round-start r_hat; one psum merge per round (r_hat is
+            # linear in g, so the delta merge is exact for the final state)
+            Rm = spec.merge_rounds
+            if nb_loc % Rm:
+                raise ValueError(
+                    f"merge_rounds ({Rm}) must divide the {nb_loc} local "
+                    "LD tile rows")
+            nb_g = nb_loc // Rm
+            if Rm == 1:
+                # single merge round: no scan, no per-round tile-slice copy
+                rh2, g_new, track, vargL_new, vi, vR = sweep_rows(
+                    r_hat, tiles, cols, valid, pvt_full, row_base)
+                r_hat = r_hat + jax.lax.psum(rh2 - r_hat, "snp")
+            else:
+                grp = lambda x: x.reshape(Rm, nb_g, *x.shape[1:])
+                grpz = lambda x: x.reshape(
+                    x.shape[0], Rm, nb_g, *x.shape[2:]).swapaxes(0, 1)
+                xs = (grp(tiles), grp(cols), grp(valid),
+                      tuple(grp(a) for a in pvt), grpz(zr),
+                      jnp.arange(Rm) * nb_g)
+
+                def round_body(carry, xs_r):
+                    rh, vi_t, vR_t = carry
+                    tiles_r, cols_r, valid_r, pvt_r, zr_r, off_r = xs_r
+                    rh2, gn, tr, vl, vi, vR = sweep_rows(
+                        rh, tiles_r, cols_r, valid_r, pvt_r + (zr_r,),
+                        row_base + off_r)
+                    rh = rh + jax.lax.psum(rh2 - rh, "snp")
+                    return (rh, vi_t + vi, vR_t + vR), (gn, tr, vl)
+
+                (r_hat, vi, vR), (gns, trs, vls) = jax.lax.scan(
+                    round_body, (r_hat, jnp.zeros((), dt), jnp.zeros((), dt)), xs)
+                g_new = gns.reshape(nb_loc, B)
+                track = trs.reshape(nb_loc, B)
+                vargL_new = vls.reshape(nb_loc, B)
         else:
             def local_sweep(rh):
-                return _tiled_sweep_rows(
-                    spec, consts, dt, tiles, cols, valid, pvt, row_ids, rh)
+                return sweep_rows(rh, tiles, cols, valid, pvt_full, row_base)
 
-        def skip(rh):
-            return (rh, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
+            def skip(rh):
+                return (rh, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
+                        jnp.zeros((), dt), jnp.zeros((), dt))
+
+            def turn(carry, s):
+                r_hat, g_cur, tr_cur, vl_cur, vi_t, vR_t = carry
+                act = sidx == s
+                rh2, gn, tr, vl, vi, vR = jax.lax.cond(act, local_sweep, skip, r_hat)
+                r_hat = r_hat + jax.lax.psum(rh2 - r_hat, "snp")
+                g_cur = jnp.where(act, gn, g_cur)
+                tr_cur = jnp.where(act, tr, tr_cur)
+                vl_cur = jnp.where(act, vl, vl_cur)
+                return (r_hat, g_cur, tr_cur, vl_cur, vi_t + vi, vR_t + vR), None
+
+            init = (r_hat, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
                     jnp.zeros((), dt), jnp.zeros((), dt))
-
-        def turn(carry, s):
-            r_hat, g_cur, tr_cur, vl_cur, vi_t, vR_t = carry
-            act = sidx == s
-            rh2, gn, tr, vl, vi, vR = jax.lax.cond(act, local_sweep, skip, r_hat)
-            r_hat = r_hat + jax.lax.psum(rh2 - r_hat, "snp")
-            g_cur = jnp.where(act, gn, g_cur)
-            tr_cur = jnp.where(act, tr, tr_cur)
-            vl_cur = jnp.where(act, vl, vl_cur)
-            return (r_hat, g_cur, tr_cur, vl_cur, vi_t + vi, vR_t + vR), None
-
-        init = (r_hat, g_b, jnp.zeros((nb_loc, B), jnp.int32), vargL_b,
-                jnp.zeros((), dt), jnp.zeros((), dt))
-        (r_hat, g_new, track, vargL_new, vi, vR), _ = jax.lax.scan(
-            turn, init, jnp.arange(S))
+            (r_hat, g_new, track, vargL_new, vi, vR), _ = jax.lax.scan(
+                turn, init, jnp.arange(S))
         return (g_new, track, vargL_new, r_hat,
                 jax.lax.psum(vi, "snp"), jax.lax.psum(vR, "snp"))
 

@@ -85,7 +85,13 @@ def sbrm(
     checkpoint=None,
     progress=False,
     mesh=None,
+    shard_schedule="turn",
+    merge_rounds=1,
 ) -> BlrMod:
+    """shard_schedule: m-MP sweep schedule under a mesh — "turn" (exact,
+    serialised shards) or "concurrent" (all shards sweep against the
+    round-start r_hat, `merge_rounds` psum merges per iteration; relaxed
+    kernel, ~S-times faster — see engine/gibbs.GibbsSpec)."""
     if method not in S_METHODS:
         raise ValueError(f"unknown method '{method}'; choose from {S_METHODS}")
     ld = _coerce_ld(ldm)
@@ -129,6 +135,7 @@ def sbrm(
         reject_guard=sparse_semantics, vary=vary,
         seg_sizes=seg_sizes, seg_real=seg_real,
         use_pallas=dtype == jnp.float32 and __import__("jax").default_backend() != "cpu",
+        shard_schedule=shard_schedule, merge_rounds=int(merge_rounds),
     )
     if verbose:
         kind = "sparse/block" if sparse_semantics else "dense"

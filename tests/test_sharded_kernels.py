@@ -296,3 +296,29 @@ def test_sbrm_tiled_snp_sharded_kernel_matches_unsharded(model, guard):
         np.asarray(s1.r_hat), np.asarray(s8.r_hat), rtol=0,
         atol=1e-3 * np.abs(np.asarray(s1.r_hat)).max() + 1e-5,
     )
+
+
+@pytest.mark.parametrize("Rm", [1, 2])
+def test_sbrm_tiled_concurrent_schedule_runs(Rm):
+    """Concurrent m-MP schedule for the tiled summary sweep: all shards
+    sweep simultaneously against the round-start r_hat with Rm merges per
+    iteration; the run must execute and stay statistically sane (a short
+    chain's Vg close to the exact turn schedule's)."""
+    import dataclasses
+
+    data, spec, pr, pi = build_tiled("BayesCpi", m=2048, guard=True)
+    spec_c = dataclasses.replace(spec, shard_schedule="concurrent",
+                                 merge_rounds=Rm, niter=60, nburn=30)
+    spec_t = dataclasses.replace(spec, niter=60, nburn=30)
+    mesh = make_mesh(4, shape=(1, 4))
+    from hibayes_tpu.parallel.mesh import shard_sgibbs_data
+
+    _, s_t, _ = SG.run_s_chain(spec_t, data, pr, pi, seed=5, mesh=mesh)
+    _, s_c, _ = SG.run_s_chain(spec_c, data, pr, pi, seed=5, mesh=mesh)
+    a_t = np.asarray(s_t["alpha"]).mean(axis=0)
+    a_c = np.asarray(s_c["alpha"]).mean(axis=0)
+    assert np.isfinite(a_c).all()
+    assert np.corrcoef(a_t, a_c)[0, 1] > 0.9
+    vg_t = float(np.asarray(s_t["Vg"]).mean())
+    vg_c = float(np.asarray(s_c["Vg"]).mean())
+    assert abs(vg_t - vg_c) / max(vg_t, 1e-9) < 0.5
