@@ -120,13 +120,15 @@ def main():
         st_s = shard_state(G.init_state(spec_s1, data, pr, pi), mesh)
         key = jax.random.PRNGKey(1)
         with mesh:
-            step_s = jax.jit(lambda st: G.one_iteration(spec_s1, data_s, key,
-                                                        st, mesh=mesh))
-            st = jax.block_until_ready(step_s(st_s))
-            st = jax.block_until_ready(step_s(st))
+            # data passed as a jit ARGUMENT: a closure would bake the 3.2 GB
+            # genotype into the HLO as a captured constant (slow lowering)
+            step_s = jax.jit(lambda dd, st: G.one_iteration(spec_s1, dd, key,
+                                                            st, mesh=mesh))
+            st = jax.block_until_ready(step_s(data_s, st_s))
+            st = jax.block_until_ready(step_s(data_s, st))
             t0 = time.time()
             for _ in range(iters):
-                st = step_s(st)
+                st = step_s(data_s, st)
             jax.block_until_ready(st)
             t_s1 = (time.time() - t0) / iters
         ratio = t_s1 / t_x

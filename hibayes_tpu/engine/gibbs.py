@@ -1193,6 +1193,8 @@ def _sweep_concurrent_emu_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks,
     the deltas are summed, exactly what the psum merge computes), executed
     sequentially on one chip.  Used for posterior-agreement studies and to
     measure the per-round cost that an S-chip slice would pay per shard."""
+    from ..ops import blockgibbs
+
     dt = yadj_b.dtype
     nb, n, B = X_blocks.shape
     m_pad = nb * B
@@ -1204,57 +1206,61 @@ def _sweep_concurrent_emu_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks,
             f"{nb} SNP blocks (prepare_gibbs_data(nblocks_multiple=...))"
         )
     nbg = nb // (S * Rm)
+    mg = nbg * B
     itemsize = X_blocks.dtype.itemsize
     mc_fn = _select_sweep_mc(spec, n, K, dt, itemsize, interpret)
+    # zero-copy group sweeps: the transposed kernels read their block range
+    # straight from the full HBM buffer (a lax.scan over shard slices would
+    # copy the whole genotype once per iteration — 3.2 GB at the 50k anchor)
+    zero_copy = mc_fn is not None and getattr(mc_fn, "func", None) in (
+        blockgibbs.sweep_mc_t, blockgibbs.sweep_mc_ti, blockgibbs.sweep_mc_tc,
+    )
+    gidx = jnp.arange(m_pad)
 
     # global block index = s*(Rm*nbg) + r*nbg + t: shard-major, contiguous
-    # genome runs per shard (matches the mesh's PS("snp") block split)
-    def g5(x):  # (nb, ...) -> (Rm, S, nbg, ...)
-        return x.reshape(S, Rm, nbg, *x.shape[1:]).swapaxes(0, 1)
-
-    def g5b(v):  # per-SNP shared (m_pad,) -> (Rm, S, nbg, B)
-        return g5(v.reshape(nb, B))
-
-    def gk(x):  # per-chain (K, m_pad[, nf]) -> (Rm, S, K, nbg, B[, nf])
-        t = x.reshape(K, S, Rm, nbg, B, *x.shape[2:])
-        return t.transpose((2, 1, 0) + tuple(range(3, t.ndim)))
-
-    xs = (g5(X_blocks), g5(W_blocks), g5b(xpx), g5b(vx),
-          g5b(jnp.arange(m_pad)), gk(vei_b), gk(g_b), gk(z_b), gk(u_b),
-          gk(chi_b), gk(z2_b), gk(vargL_b))
-
-    def round_body(carry, xs_r):
-        ya0, u0, vi_t, vR_t = carry
-
-        def shard_body(acc, xs_s):
-            dya, du, vi_a, vR_a = acc
-            Xg, Wg, xpx_g, vx_g, gidx_g, vei_g, g_g, zz_g, uu_g, chi_g, \
-                z2_g, vL_g = xs_s
-            ya2, u2, vi, vR, gn, tr, vl = _sweep_local_blocks(
-                spec, consts_b, Xg, Wg, xpx_g, vx_g, gidx_g, vei_g, g_g,
-                zz_g, uu_g, chi_g, z2_g, vL_g, ya0, u0,
-                mc_fn=mc_fn, use_hybrid=False, has_ind=False, interp=interpret,
-            )
-            return (dya + (ya2 - ya0), du + (u2 - u0),
-                    vi_a + vi.astype(dt), vR_a + vR.astype(dt)), (
-                gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
-
-        (dya, du, vi, vR), (gns, trs, vls) = jax.lax.scan(
-            shard_body,
-            (jnp.zeros_like(ya0), jnp.zeros_like(u0),
-             jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
-            xs_r,
-        )
-        return (ya0 + dya, u0 + du, vi_t + vi, vR_t + vR), (gns, trs, vls)
-
-    (yadj, u, vargi, vargR), (G2, T2, V2) = jax.lax.scan(
-        round_body,
-        (yadj_b, u_vec_b, jnp.zeros((K,), dt), jnp.zeros((K,), dt)),
-        xs,
-    )
-    # (Rm, S, K, mg) -> (K, S, Rm, mg) -> (K, m_pad) (global block order)
-    fin = lambda a: a.transpose(2, 1, 0, 3).reshape(K, m_pad)
-    return fin(G2), fin(T2), fin(V2), yadj, u, vargi, vargR
+    # genome runs per shard (matches the mesh's PS("snp") block split);
+    # group (s, r) owns the flat SNP slice [(s*Rm + r)*mg, +mg)
+    ya, uu = yadj_b, u_vec_b
+    vi_t = jnp.zeros((K,), dt)
+    vR_t = jnp.zeros((K,), dt)
+    groups = [None] * (S * Rm)
+    for r in range(Rm):
+        dya = jnp.zeros_like(ya)
+        du = jnp.zeros_like(uu)
+        for s in range(S):
+            gi = s * Rm + r
+            b0 = gi * nbg
+            sl = slice(b0 * B, b0 * B + mg)
+            if zero_copy:
+                out = mc_fn(
+                    spec, consts_b, X_blocks, W_blocks, xpx[sl], vx[sl],
+                    vei_b[:, sl], g_b[:, sl], z_b[:, sl], u_b[:, sl],
+                    chi_b[:, sl], z2_b[:, sl], vargL_b[:, sl], ya, uu,
+                    block_range=(b0, nbg),
+                )
+                gn, tr, vl, ya2, u2, vi, vR = out
+            else:
+                rs = lambda v: v[sl].reshape(nbg, B)
+                rsk = lambda v: v[:, sl].reshape(K, nbg, B, *v.shape[2:])
+                ya2, u2, vi, vR, gn, tr, vl = _sweep_local_blocks(
+                    spec, consts_b,
+                    jax.lax.slice_in_dim(X_blocks, b0, b0 + nbg),
+                    jax.lax.slice_in_dim(W_blocks, b0, b0 + nbg),
+                    rs(xpx), rs(vx), rs(gidx), rsk(vei_b), rsk(g_b),
+                    rsk(z_b), rsk(u_b), rsk(chi_b), rsk(z2_b), rsk(vargL_b),
+                    ya, uu,
+                    mc_fn=mc_fn, use_hybrid=False, has_ind=False,
+                    interp=interpret,
+                )
+            dya = dya + (ya2 - ya)
+            du = du + (u2 - uu)
+            vi_t = vi_t + vi.astype(dt)
+            vR_t = vR_t + vR.astype(dt)
+            groups[gi] = (gn.astype(dt), tr.astype(jnp.int32), vl.astype(dt))
+        ya = ya + dya
+        uu = uu + du
+    cat = lambda i: jnp.concatenate([g[i] for g in groups], axis=1)
+    return cat(0), cat(1), cat(2), ya, uu, vi_t, vR_t
 
 
 def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,

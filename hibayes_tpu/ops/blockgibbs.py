@@ -694,9 +694,15 @@ def supports_mc_t(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> bo
 
 def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
                g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
-               interpret=False):
-    """Transposed K-chain fused sweep; same inputs/outputs as `sweep_mc`."""
-    nblocks, n, B = X_blocks.shape
+               interpret=False, block_range=None):
+    """Transposed K-chain fused sweep; same inputs/outputs as `sweep_mc`.
+
+    block_range=(off, nbg): sweep only blocks [off, off+nbg) of X/W while the
+    per-SNP rows (xpx/vx/g/z/... ) are already the LOCAL slice — the grid's
+    index_map reads the X/W region straight out of the full HBM buffer, so
+    group sweeps (concurrent-shard emulation) cost zero genotype copies."""
+    nb_tot, n, B = X_blocks.shape
+    off, nblocks = block_range if block_range is not None else (0, nb_tot)
     m_pad = nblocks * B
     K = yadj_b.shape[0]
     mi = spec.model_index
@@ -727,8 +733,8 @@ def sweep_mc_t(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
         in_specs=[
             full((1, K)),                                                          # logpi0
             pl.BlockSpec((1, B, R, K), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B), lambda b: (b + off, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b + off, 0, 0), memory_space=pltpu.VMEM),
             full((K, n)),
             full((K, n)),
         ],
@@ -838,9 +844,11 @@ def supports_mc_ti(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> b
 
 def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
                 g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
-                interpret=False):
-    """int8-resident transposed K-chain sweep; same contract as `sweep_mc_t`."""
-    nblocks, n, B = X_blocks.shape
+                interpret=False, block_range=None):
+    """int8-resident transposed K-chain sweep; same contract as `sweep_mc_t`
+    (including zero-copy ``block_range`` group sweeps)."""
+    nb_tot, n, B = X_blocks.shape
+    off, nblocks = block_range if block_range is not None else (0, nb_tot)
     m_pad = nblocks * B
     K = yadj_b.shape[0]
     C = min(_pick_chunk(n) or n, n)
@@ -864,8 +872,8 @@ def sweep_mc_ti(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
         in_specs=[
             full((1, K)),
             pl.BlockSpec((1, B, R, K), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, B), lambda b: (b + off, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b + off, 0, 0), memory_space=pltpu.VMEM),
             full((K, n)),
             full((K, n)),
         ],
@@ -927,10 +935,12 @@ def _pick_chunk(n: int) -> int:
 
 
 def _kernel_mc_tc(spec: GibbsSpec, n: int, B: int, R: int, K: int, C: int,
+                  off: int,
                   logpi_ref, P_ref, X_hbm, W_ref, yadj_in_ref, u_in_ref,
                   dg_out_ref, track_out_ref, yadj_out_ref, u_out_ref,
                   r_local, dg_s, track_s, xbuf, sem):
     b = pl.program_id(0)
+    bx = b + off                    # block row in the FULL X buffer
     nchunks = n // C
 
     @pl.when(b == 0)
@@ -942,7 +952,7 @@ def _kernel_mc_tc(spec: GibbsSpec, n: int, B: int, R: int, K: int, C: int,
 
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
-            X_hbm.at[b, pl.ds(c * C, C), :], xbuf.at[slot], sem.at[slot]
+            X_hbm.at[bx, pl.ds(c * C, C), :], xbuf.at[slot], sem.at[slot]
         )
 
     # ---- pass 1: r0 = sum_c X[c]' yadj[:, c]' ----
@@ -1018,9 +1028,12 @@ def supports_mc_tc(spec: GibbsSpec, n: int, K: int, dtype, geno_itemsize=4) -> b
 
 def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
                 g_b, z_b, u_b, chi_b, z2_b, vargL_b, yadj_b, u_vec_b,
-                interpret=False):
-    """Chunked-n transposed K-chain sweep; X stays in HBM."""
-    nblocks, n, B = X_blocks.shape
+                interpret=False, block_range=None):
+    """Chunked-n transposed K-chain sweep; X stays in HBM.  Supports the
+    zero-copy ``block_range`` contract of `sweep_mc_t` (the kernel's manual
+    DMA reads blocks [off, off+nbg) of the full HBM buffer directly)."""
+    nb_tot, n, B = X_blocks.shape
+    off, nblocks = block_range if block_range is not None else (0, nb_tot)
     m_pad = nblocks * B
     K = yadj_b.shape[0]
     C = _pick_chunk(n)
@@ -1035,7 +1048,7 @@ def sweep_mc_tc(spec: GibbsSpec, consts_b, X_blocks, W_blocks, xpx, vx, vei_b,
     P_blocks = to_block_layout(P, nblocks, B)
     logpi_row = consts_b["logpi"][:, 0].astype(F32).reshape(1, K)
 
-    kern = functools.partial(_kernel_mc_tc, spec, n, B, R, K, C)
+    kern = functools.partial(_kernel_mc_tc, spec, n, B, R, K, C, off)
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     dg, track_f, yadj_o, u_o = pl.pallas_call(

@@ -120,8 +120,14 @@ def test_concurrent_posterior_agreement():
     data, spec_x, pr, pi, M, y = build(**kw)
     _, s_x, _ = G.run_chain(spec_x, data, pr, pi, seed=11)
 
+    # S=4, Rm=1: the production flagship configuration.  An (S, Rm) scan at
+    # this scale gives corr 0.99993/0.99983/0.99898 for S=2/4/8 at Rm=1 but
+    # 0.99696 at S=4 Rm=2 — more merge rounds HALVE each group's exact
+    # sequential span (32 SNPs here), which costs more accuracy than the
+    # extra merge buys back; merge_rounds>1 only pays off when groups stay
+    # thousands of SNPs long (flagship: 62.5k SNPs/shard).
     data2, spec_c, pr2, pi2, M2, y2 = build(
-        shard_schedule="concurrent", emulate_shards=4, merge_rounds=2,
+        shard_schedule="concurrent", emulate_shards=4, merge_rounds=1,
         nblocks_multiple=8, **kw)
     _, s_c, _ = G.run_chain(spec_c, data2, pr2, pi2, seed=11)
 
