@@ -79,6 +79,21 @@ def time_step(spec, data, pr, pi, iters=20):
     return (time.time() - t0) / iters
 
 
+def time_step_batch(spec, data, pr, pi, K, iters=20):
+    st0 = G.init_state(spec, data, pr, pi)
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), st0)
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+    step = jax.jit(partial(G.one_iteration_batch, spec))
+    st = jax.block_until_ready(step(data, keys, states))
+    st = jax.block_until_ready(step(data, keys, st))
+    t0 = time.time()
+    for _ in range(iters):
+        st = step(data, keys, st)
+    jax.block_until_ready(st)
+    return (time.time() - t0) / iters
+
+
 def main():
     quick = "quick" in sys.argv
     iters = 10 if quick else 30
@@ -107,6 +122,30 @@ def main():
             print(f"{model}: concurrent emu S=8 Rm={Rm} {t_e*1e3:.1f} ms/iter "
                   f"(= {t_chip*1e3:.2f} ms/chip-iter; overhead vs exact "
                   f"{t_e/t_x:.3f}x)", flush=True)
+            del data_c  # free the 3.2 GB genotype before the next build
+
+        # ring-pipelined EXACT schedule, single-chip EMULATION: K chains in
+        # S=8 groups; the emulation runs the S x S (group, turn) sweeps
+        # sequentially, so t_iter(8 chips) ~= t_emu / 8 + ppermute.  Every
+        # chain is an exact Gibbs scan (rotated block order).
+        for Kp in ([8] if quick else [8, 64]):
+            data_p, spec_p, pr_p, pi_p = build(n, m, 128, model,
+                                               nblocks_multiple=8)
+            spec_p = dataclasses.replace(
+                spec_p, shard_schedule="pipeline", emulate_shards=8)
+            t_p = time_step_batch(spec_p, data_p, pr_p, pi_p, Kp, iters)
+            t_wall = t_p / 8
+            agg = Kp * m / t_wall
+            print(f"{model}: pipeline emu S=8 K={Kp} {t_p*1e3:.1f} ms/iter "
+                  f"(= {t_wall*1e3:.2f} ms wall/iter on 8 chips for {Kp} "
+                  f"exact chains; {agg/1e6:.0f}M agg upd/s)", flush=True)
+            nb_f = -(-500_000 // 128 // 8) * 8
+            t_flag = t_wall * nb_f / spec_p.nblocks + 0.0005
+            print(f"{model}: 50k x 500k pipeline projection (8 chips, "
+                  f"{Kp} exact chains): {t_flag*1e3:.1f} ms/iter -> "
+                  f"50k iters = {t_flag*50_000/60:.0f} min wall "
+                  f"({Kp} chains together)", flush=True)
+            del data_p
 
         # distributed concurrent path at S=1 (one chip, real shard_map +
         # psum structure): quantifies the schedule's multiplicative overhead
@@ -145,6 +184,7 @@ def main():
         print(f"{model}: 50k x 500k projection (8 chips, concurrent): "
               f"{t_iter*1e3:.1f} ms/iter -> 50k iters = "
               f"{t_iter*50_000/60:.1f} min", flush=True)
+        del data, data_s, st_s, st  # free before the next model / block scan
 
     if not quick:
         # block-size scan at the anchor (mc_t reaches B=256 in 96MB VMEM)
@@ -153,6 +193,7 @@ def main():
             t_b = time_step(spec_b, data_b, pr_b, pi_b, iters)
             print(f"BayesR block={Bb}: {t_b*1e3:.1f} ms/iter "
                   f"({m/t_b/1e6:.2f}M upd/s)", flush=True)
+            del data_b
 
 
 if __name__ == "__main__":

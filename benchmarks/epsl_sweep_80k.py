@@ -67,17 +67,21 @@ def main():
     b = jnp.asarray(rng.normal(0, 1, qe_pad).astype(np.float32))
     z = jnp.asarray(rng.normal(0, 1, qe_pad).astype(np.float32))
 
-    step = jax.jit(lambda x, z: G.blocked_mme_gibbs_sparse(
-        sp_obj, counts, jnp.float32(1.7), x, b, jnp.float32(1.0), z))
-    x, _ = jax.block_until_ready(step(x0, z))
-    t0 = time.time()
     iters = 20
-    for _ in range(iters):
-        x, _ = step(x, z)
-    jax.block_until_ready(x)
-    dt = (time.time() - t0) / iters
-    print(f"epsilon sweep: {dt*1e3:.1f} ms/iter at qe={qe} "
-          f"({qe/dt/1e6:.2f}M site-updates/s)")
+    for use_pallas in (False, True):
+        step = jax.jit(lambda x, z: G.blocked_mme_gibbs_sparse(
+            sp_obj, counts, jnp.float32(1.7), x, b, jnp.float32(1.0), z,
+            use_pallas=use_pallas,
+            interpret=jax.default_backend() == "cpu"))
+        x, _ = jax.block_until_ready(step(x0, z))
+        t0 = time.time()
+        for _ in range(iters):
+            x, _ = step(x, z)
+        jax.block_until_ready(x)
+        dt = (time.time() - t0) / iters
+        lbl = "pallas kernel" if use_pallas else "XLA site scan"
+        print(f"epsilon sweep [{lbl}]: {dt*1e3:.1f} ms/iter at qe={qe} "
+              f"({qe/dt/1e6:.2f}M site-updates/s)", flush=True)
 
 
 if __name__ == "__main__":

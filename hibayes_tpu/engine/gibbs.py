@@ -143,25 +143,57 @@ class GibbsSpec:
     #                  start, merged with one psum per round (S-way speedup;
     #                  a Hogwild-blocked kernel — within-shard draws stay
     #                  exactly sequential, cross-shard draws of one round
-    #                  don't condition on each other.  Genome-contiguous
-    #                  shards keep cross-shard LD weak; posterior agreement
-    #                  is validated empirically, tests/test_concurrent.py)
+    #                  don't condition on each other).  CAUTION: this is a
+    #                  block-Jacobi splitting of the Gibbs scan; in the
+    #                  rank-deficient m > n regime its iteration operator can
+    #                  have spectral radius > 1 — measured at n=4096 x
+    #                  m=65536 (S=8): Ve inflated ~50%, Vg deflated ~30%,
+    #                  GEBV corr 0.947 vs the exact chain, and more merge
+    #                  rounds make it WORSE (each round re-applies the
+    #                  divergent operator; S=4 x Rm=4 NaNs at demo scale).
+    #                  Validated-safe only for m <~ n; prefer "pipeline".
+    #   "pipeline"   — EXACT with all shards busy: chains are grouped by
+    #                  home shard and ring-rotate across the S SNP shards
+    #                  (ppermute) — at every turn each shard sweeps its own
+    #                  resident chains over its local blocks, so each chain
+    #                  executes a fixed rotated-canonical block order (a
+    #                  valid systematic Gibbs scan; chain group c sweeps
+    #                  shards c, c+1, ..., c+S-1).  Requires nchains to be a
+    #                  multiple of S; group 0's chains are bit-identical to
+    #                  the single-device canonical-order chains.
     shard_schedule: str = "turn"
     merge_rounds: int = 1    # concurrent: residual merges per iteration
-    # emulate the concurrent schedule with S virtual shards on ONE device
-    # (identical Markov kernel to the distributed concurrent run: each
-    # shard-group sweep starts from the round-start residual, deltas are
-    # summed) — drives single-chip accuracy studies and cost measurement
+    # emulate the concurrent/pipeline schedule with S virtual shards on ONE
+    # device (identical Markov kernel to the distributed run) — drives
+    # single-chip accuracy studies and cost measurement
     emulate_shards: int = 0
 
     def __post_init__(self):
-        if self.shard_schedule not in ("turn", "concurrent"):
+        if self.shard_schedule not in ("turn", "concurrent", "pipeline"):
             raise ValueError(
-                f"shard_schedule must be 'turn' or 'concurrent', got "
-                f"{self.shard_schedule!r}"
+                f"shard_schedule must be 'turn', 'concurrent' or 'pipeline', "
+                f"got {self.shard_schedule!r}"
             )
         if self.merge_rounds < 1:
             raise ValueError("merge_rounds must be >= 1")
+        # individual-level engine only (seg_sizes marks a summary-LD spec,
+        # where cross-shard coupling is bounded by the LD tile overlap, not
+        # by the X'X rank deficiency)
+        if (self.shard_schedule == "concurrent" and self.m > self.n_obs
+                and not self.seg_sizes):
+            import warnings
+
+            warnings.warn(
+                f"shard_schedule='concurrent' with m ({self.m}) > n "
+                f"({self.n_obs}): the relaxed kernel is a block-Jacobi "
+                "splitting whose iteration operator can exceed spectral "
+                "radius 1 in this rank-deficient regime — measured Vg "
+                "deflation ~30% / Ve inflation ~50% at n=4096 x m=65536, "
+                "and divergence (NaN) at high shard x merge-round counts.  "
+                "Use shard_schedule='pipeline' (exact, all shards busy, "
+                "nchains a multiple of the shard count) or 'turn' (exact).",
+                UserWarning, stacklevel=2,
+            )
 
     @property
     def model_index(self) -> int:
@@ -539,42 +571,68 @@ def _epsl_matvec(sp: EpslSparse, x, q):
     )
 
 
-def blocked_mme_gibbs_sparse(sp: EpslSparse, counts, scale, x, b, ve, z):
+def blocked_mme_gibbs_sparse(sp: EpslSparse, counts, scale, x, b, ve, z,
+                             use_pallas=False, interpret=False):
     """Single-site Gibbs sweep over LHS = scale*A + diag(counts) with sparse
     A — the counterpart of :func:`blocked_mme_gibbs` for pedigree-sized
     epsilon systems (reference: src/solver.cpp:131-140 iterates arma::sp_mat
     columns).  Per block: the dense diagonal block drives the in-block site
-    scan; the residual update scatters this block's O(nnz/block) COO
+    draws; the residual update scatters this block's O(nnz/block) COO
     triplets.  Storage and work are O(nnz) for ANY sparsity pattern.
+
+    With use_pallas, the T in-block sequential draws run in the fused VMEM
+    kernel (`ops.blockgibbs.mme_block_draws`) instead of a per-site XLA scan
+    (~7 us/site of dispatch overhead — 554 ms/iter at qe=80k); the two paths
+    draw identical chains up to f32 association order.
 
     Returns (x_new, A @ x_new) — the matvec feeds the veps quadratic form.
     """
+    from ..ops import blockgibbs
+
     q = x.shape[0]
     nbr, T, _ = sp.diag_blocks.shape
     dt = x.dtype
     res = b - scale * _epsl_matvec(sp, x, q) - counts * x
+    kernel = use_pallas and blockgibbs.supports_mme_block(T, dt)
+
+    if kernel:
+        # per-site constants, vectorized across all blocks up front
+        d_all = (scale * jnp.diagonal(sp.diag_blocks, axis1=1, axis2=2)
+                 + counts.reshape(nbr, T))
+        ok = d_all > 0  # zero-padded tail sites stay frozen
+        d_safe = jnp.where(ok, d_all, 1.0)
+        invd_all = jnp.where(ok, 1.0 / d_safe, 0.0)
+        noise_all = jnp.where(ok, jnp.sqrt(ve / d_safe) * z.reshape(nbr, T),
+                              0.0)
 
     def block_body(carry, xs):
         x_all, res = carry
-        i, Wd, rows_i, cols_i, vals_i, cnt_b, zb = xs
+        i, Wd, rows_i, cols_i, vals_i, cnt_b, zb, invd_b, noise_b = xs
         Wb = scale * Wd.astype(dt) + jnp.diag(cnt_b)
-        db = jnp.diagonal(Wb)
         r_local = jax.lax.dynamic_slice(res, (i * T,), (T,))
         xb = jax.lax.dynamic_slice(x_all, (i * T,), (T,))
 
-        def site(carry_in, sxs):
-            r_loc, = carry_in
-            j, wcol, xj, aii, zj = sxs
-            ok = aii > 0  # zero-padded tail sites stay frozen
-            aii_s = jnp.where(ok, aii, 1.0)
-            xnew = jnp.where(ok, r_loc[j] / aii_s + xj + jnp.sqrt(ve / aii_s) * zj, xj)
-            dx = xnew - xj
-            r_loc = r_loc - dx * wcol
-            return (r_loc,), (xnew, dx)
+        if kernel:
+            dx_b = blockgibbs.mme_block_draws(
+                Wb, r_local, invd_b, noise_b, interpret=interpret).astype(dt)
+            xnew_b = xb + dx_b
+        else:
+            db = jnp.diagonal(Wb)
 
-        (_,), (xnew_b, dx_b) = jax.lax.scan(
-            site, (r_local,), (jnp.arange(T), Wb.T, xb, db, zb)
-        )
+            def site(carry_in, sxs):
+                r_loc, = carry_in
+                j, wcol, xj, aii, zj = sxs
+                ok = aii > 0  # zero-padded tail sites stay frozen
+                aii_s = jnp.where(ok, aii, 1.0)
+                xnew = jnp.where(
+                    ok, r_loc[j] / aii_s + xj + jnp.sqrt(ve / aii_s) * zj, xj)
+                dx = xnew - xj
+                r_loc = r_loc - dx * wcol
+                return (r_loc,), (xnew, dx)
+
+            (_,), (xnew_b, dx_b) = jax.lax.scan(
+                site, (r_local,), (jnp.arange(T), Wb.T, xb, db, zb)
+            )
         # res -= scale * A[:, block] @ dx: scatter this block's triplets
         # (padding triplets carry val 0 -> harmless adds at row 0)
         res = res.at[rows_i].add(-scale * vals_i.astype(dt) * dx_b[cols_i])
@@ -584,10 +642,13 @@ def blocked_mme_gibbs_sparse(sp: EpslSparse, counts, scale, x, b, ve, z):
         x_all = jax.lax.dynamic_update_slice(x_all, xnew_b, (i * T,))
         return (x_all, res), None
 
+    zeros_bt = jnp.zeros((nbr, T), dt)
     (x, res), _ = jax.lax.scan(
         block_body, (x, res),
         (jnp.arange(nbr), sp.diag_blocks, sp.blk_rows, sp.blk_cols,
-         sp.blk_vals, counts.reshape(nbr, T), z.reshape(nbr, T)),
+         sp.blk_vals, counts.reshape(nbr, T), z.reshape(nbr, T),
+         invd_all if kernel else zeros_bt,
+         noise_all if kernel else zeros_bt),
     )
     return x, _epsl_matvec(sp, x, q)
 
@@ -695,6 +756,11 @@ def one_iteration(spec: GibbsSpec, data: GibbsData, base_key, state: ChainState,
             pre["yadj"], pre["u"],
         )
         return _post_sweep(spec, data, key, state, pre, sweep_out)
+    if spec.shard_schedule == "pipeline" and spec.emulate_shards > 1:
+        raise ValueError(
+            "shard_schedule='pipeline' needs a multi-chain batch "
+            "(run_chains with nchains a multiple of the shard count); a "
+            "single chain has no chain groups to rotate")
 
     if ind_shard_count(mesh) > 1:
         # An ind-sharded mesh must NOT reach the monolithic Pallas kernels:
@@ -861,6 +927,8 @@ def _pre_sweep(spec: GibbsSpec, data: GibbsData, key, state: ChainState):
             ze = jnp.where(jnp.arange(qe_p) < qe, ze, 0.0)  # freeze pad sites
             new_e, Ae = blocked_mme_gibbs_sparse(
                 data.epsl_sp, data.epsl_counts, scale, epsl_estR, rhs_e, ve, ze,
+                use_pallas=spec.use_pallas,
+                interpret=jax.default_backend() == "cpu",
             )
             quad = jnp.dot(new_e, Ae, precision=HIGHEST)
         else:
@@ -1275,6 +1343,93 @@ def _sweep_snp_sharded(spec: GibbsSpec, data: GibbsData, consts, rnd, vei, g,
     return tuple(o[0] for o in out)
 
 
+def _sweep_pipeline_emu_mc(spec: GibbsSpec, consts_b, X_blocks, W_blocks,
+                           xpx, vx, vei_b, g_b, z_b, u_b, chi_b, z2_b,
+                           vargL_b, yadj_b, u_vec_b, *, interpret=False):
+    """Single-device emulation of the ring-pipelined schedule: chain group c
+    (batch rows [c*Kg, (c+1)*Kg)) sweeps the S shard block-ranges in rotated
+    order c, c+1, ..., c+S-1 with the residual threaded sequentially — per
+    chain EXACTLY the distributed pipelined kernel (chains never interact,
+    so the time-interleaving of the distributed run is irrelevant).  Group 0
+    runs the canonical block order: its chains are bit-identical to the
+    plain single-device sweep."""
+    from ..ops import blockgibbs
+
+    dt = yadj_b.dtype
+    nb, n, B = X_blocks.shape
+    m_pad = nb * B
+    K = yadj_b.shape[0]
+    S = spec.emulate_shards
+    if K % S:
+        raise ValueError(
+            f"pipeline emulation needs nchains ({K}) to be a multiple of "
+            f"emulate_shards ({S})")
+    if nb % S:
+        raise ValueError(
+            f"emulate_shards ({S}) must divide the {nb} SNP blocks "
+            f"(prepare_gibbs_data(nblocks_multiple=...))")
+    Kg = K // S
+    nbg = nb // S
+    mg = nbg * B
+    itemsize = X_blocks.dtype.itemsize
+    mc_fn = _select_sweep_mc(spec, n, Kg, dt, itemsize, interpret)
+    zero_copy = mc_fn is not None and getattr(mc_fn, "func", None) in (
+        blockgibbs.sweep_mc_t, blockgibbs.sweep_mc_ti, blockgibbs.sweep_mc_tc,
+    )
+    gidx = jnp.arange(m_pad)
+
+    ya_rows, u_rows, vi_rows, vR_rows, g_rows, tr_rows, vl_rows = (
+        [], [], [], [], [], [], [])
+    for c in range(S):
+        rsel = slice(c * Kg, (c + 1) * Kg)
+        consts_c = jax.tree_util.tree_map(lambda x: x[rsel], consts_b)
+        ya = yadj_b[rsel]
+        uu = u_vec_b[rsel]
+        vi = jnp.zeros((Kg,), dt)
+        vR = jnp.zeros((Kg,), dt)
+        pieces = [None] * S
+        for t in range(S):
+            sblk = (c + t) % S
+            b0 = sblk * nbg
+            sl = slice(b0 * B, b0 * B + mg)
+            if zero_copy:
+                out = mc_fn(
+                    spec, consts_c, X_blocks, W_blocks, xpx[sl], vx[sl],
+                    vei_b[rsel][:, sl], g_b[rsel][:, sl], z_b[rsel][:, sl],
+                    u_b[rsel][:, sl], chi_b[rsel][:, sl], z2_b[rsel][:, sl],
+                    vargL_b[rsel][:, sl], ya, uu, block_range=(b0, nbg),
+                )
+                gn, tr, vl, ya, uu, vi_s, vR_s = out
+            else:
+                rs = lambda v: v[sl].reshape(nbg, B)
+                rsk = lambda v: v[rsel][:, sl].reshape(
+                    Kg, nbg, B, *v.shape[2:])
+                ya, uu, vi_s, vR_s, gn, tr, vl = _sweep_local_blocks(
+                    spec, consts_c,
+                    jax.lax.slice_in_dim(X_blocks, b0, b0 + nbg),
+                    jax.lax.slice_in_dim(W_blocks, b0, b0 + nbg),
+                    rs(xpx), rs(vx), rs(gidx), rsk(vei_b), rsk(g_b),
+                    rsk(z_b), rsk(u_b), rsk(chi_b), rsk(z2_b), rsk(vargL_b),
+                    ya, uu,
+                    mc_fn=mc_fn, use_hybrid=False, has_ind=False,
+                    interp=interpret,
+                )
+            vi = vi + vi_s.astype(dt)
+            vR = vR + vR_s.astype(dt)
+            pieces[sblk] = (gn.astype(dt), tr.astype(jnp.int32),
+                            vl.astype(dt))
+        g_rows.append(jnp.concatenate([p[0] for p in pieces], axis=1))
+        tr_rows.append(jnp.concatenate([p[1] for p in pieces], axis=1))
+        vl_rows.append(jnp.concatenate([p[2] for p in pieces], axis=1))
+        ya_rows.append(ya)
+        u_rows.append(uu)
+        vi_rows.append(vi)
+        vR_rows.append(vR)
+    cat0 = lambda xs: jnp.concatenate(xs, axis=0)
+    return (cat0(g_rows), cat0(tr_rows), cat0(vl_rows), cat0(ya_rows),
+            cat0(u_rows), cat0(vi_rows), cat0(vR_rows))
+
+
 def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
                           vei_b, g_b, vargL_b, yadj_b, u_vec_b, mesh):
     """Exact SNP-axis model-parallel sweep for K chains (SURVEY §2.3 P3/P4;
@@ -1321,9 +1476,25 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
     pvk = (rsk(vei_b), rsk(g_b), rsk(z_b), rsk(u_b), rsk(chi_b), rsk(z2_b),
            rsk(vargL_b))
 
-    # static selection of the shard-local sweep engine
+    pipeline = spec.shard_schedule == "pipeline"
+    if pipeline:
+        if has_ind:
+            raise ValueError(
+                "shard_schedule='pipeline' does not compose with an "
+                "ind-sharded mesh; use a pure m-MP mesh (1, S)"
+            )
+        if K % S:
+            raise ValueError(
+                f"shard_schedule='pipeline' needs nchains ({K}) to be a "
+                f"multiple of the {S} SNP shards (chains ring-rotate in "
+                f"groups of nchains/S)"
+            )
+    Kg = K // S if pipeline else K
+
+    # static selection of the shard-local sweep engine (pipeline sweeps one
+    # chain GROUP per turn, so the kernel is selected for Kg chains)
     mc_fn = (None if has_ind
-             else _select_sweep_mc(spec, spec.n, K, dt, itemsize, interp))
+             else _select_sweep_mc(spec, spec.n, Kg, dt, itemsize, interp))
     use_hybrid = (mc_fn is None and spec.use_pallas
                   and hybrid_draws_supported(spec, dt))
 
@@ -1380,6 +1551,60 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
                     (yadj, u, jnp.zeros((K,), dt), jnp.zeros((K,), dt)), xs)
                 cat = lambda a: a.swapaxes(0, 1).reshape(K, m_loc)
                 g_new, track, vargL_new = cat(gns), cat(trs), cat(vls)
+        elif pipeline:
+            # ring-pipelined EXACT schedule: chain group c (rows
+            # [c*Kg, (c+1)*Kg) of the batch) homes at shard c and visits
+            # shards c, c+1, ..., c+S-1 in S turns; every shard sweeps its
+            # resident group over its LOCAL blocks each turn, then the
+            # travelling state (yadj/u rows + per-chain accumulators) rides
+            # one ppermute hop to the next shard.  All S shards compute
+            # every turn; each chain runs the exact blocked kernel in a
+            # fixed rotated-canonical block order.
+            sidx = jax.lax.axis_index("snp")
+            g_l = flatk(pvkt[1])
+            vargL_l = flatk(pvkt[6])
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            rows = lambda a, c: jax.lax.dynamic_slice_in_dim(a, c * Kg, Kg, 0)
+
+            # local state starts as the HOME group's rows (yadj/u replicated
+            # in; each shard takes its own group's slice)
+            ya_loc = rows(yadj, sidx)
+            u_loc = rows(u, sidx)
+            vi_loc = jnp.zeros((Kg,), dt)
+            vR_loc = jnp.zeros((Kg,), dt)
+            g_cur = g_l.astype(dt)
+            tr_cur = jnp.zeros((K, m_loc), jnp.int32)
+            vl_cur = vargL_l.astype(dt)
+            for t in range(S):
+                c = jnp.mod(sidx - t, S).astype(sidx.dtype)  # resident group
+                pvk_c = tuple(rows(a, c) for a in pvkt)
+                consts_c = jax.tree_util.tree_map(lambda x: rows(x, c),
+                                                  consts)
+                sweep_c = partial(
+                    _sweep_local_blocks, spec, consts_c,
+                    mc_fn=mc_fn, use_hybrid=use_hybrid, has_ind=False,
+                    interp=interp,
+                )
+                ya2, u2, vi, vR, gn, tr, vl = sweep_c(
+                    X, W, xpx_b, vx_b, gidxb, *pvk_c, ya_loc, u_loc)
+                g_cur = jax.lax.dynamic_update_slice_in_dim(
+                    g_cur, gn.astype(dt), c * Kg, 0)
+                tr_cur = jax.lax.dynamic_update_slice_in_dim(
+                    tr_cur, tr.astype(jnp.int32), c * Kg, 0)
+                vl_cur = jax.lax.dynamic_update_slice_in_dim(
+                    vl_cur, vl.astype(dt), c * Kg, 0)
+                ya_loc, u_loc, vi_loc, vR_loc = (
+                    ya2, u2, vi_loc + vi.astype(dt), vR_loc + vR.astype(dt))
+                # hop to the next shard (after the last turn this brings
+                # every group home)
+                ya_loc, u_loc, vi_loc, vR_loc = tuple(
+                    jax.lax.ppermute(a, "snp", perm)
+                    for a in (ya_loc, u_loc, vi_loc, vR_loc))
+            # home rows out: out_specs PS("snp", ...) reassemble the batch
+            return (g_cur.reshape(K, nb_loc, B),
+                    tr_cur.reshape(K, nb_loc, B),
+                    vl_cur.reshape(K, nb_loc, B), ya_loc, u_loc,
+                    vi_loc, vR_loc)
         else:
             sidx = jax.lax.axis_index("snp")
             g_l = flatk(pvkt[1])
@@ -1423,13 +1648,19 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
     pvs_spec = tuple(PS("snp", *([None] * (x.ndim - 1))) for x in pvs)
     pvk_spec = tuple(PS(None, "snp", *([None] * (x.ndim - 2))) for x in pvk)
     consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts_b)
+    if pipeline:
+        # home-group rows come back sharded over chains (axis 0) — the
+        # batch reassembles across shards; scalars likewise
+        ya_out, sc_out = PS("snp", None), PS("snp")
+    else:
+        ya_out, sc_out = ind_spec, PS()
     out = shard_map(
         body, mesh=mesh,
         in_specs=(PS("snp", "ind" if has_ind else None, None),
                   PS("snp", None, None), pvs_spec, pvk_spec, ind_spec,
                   ind_spec, consts_spec),
         out_specs=(PS(None, "snp", None), PS(None, "snp", None),
-                   PS(None, "snp", None), ind_spec, ind_spec, PS(), PS()),
+                   PS(None, "snp", None), ya_out, ya_out, sc_out, sc_out),
         check_vma=False,
     )(data.X_blocks, data.W_blocks, pvs, pvk, yadj_b, u_vec_b, consts_b)
     g_new, track, vargL_new, yadj_b, u_vec_b, vargi, vargR = out
@@ -2153,10 +2384,13 @@ def one_iteration_batch(spec: GibbsSpec, data: GibbsData, chain_keys, states,
         )
         return _post_sweep_batch(spec, data, keys, states, pre, sweep_out)
     ind_sharded = ind_shard_count(mesh) > 1
-    if (spec.shard_schedule == "concurrent" and spec.emulate_shards > 1
-            and not ind_sharded):
+    if (spec.shard_schedule in ("concurrent", "pipeline")
+            and spec.emulate_shards > 1 and not ind_sharded):
         z_b, u_b, chi_b, z2_b = pre["rnd"]
-        sweep_out = _sweep_concurrent_emu_mc(
+        emu = (_sweep_concurrent_emu_mc
+               if spec.shard_schedule == "concurrent"
+               else _sweep_pipeline_emu_mc)
+        sweep_out = emu(
             spec, pre["consts"], data.X_blocks, data.W_blocks, data.xpx,
             data.vx, pre["vei"], states.g, z_b, u_b, chi_b, z2_b,
             pre["vargL_in"], pre["yadj"], pre["u"], interpret=interp,

@@ -1790,3 +1790,62 @@ def sweep_s_tiled(spec: GibbsSpec, consts, tiles, cols, valid, r_hat,
     )
     return (dg.reshape(nbr_loc * B), track_f.reshape(nbr_loc * B).astype(jnp.int32),
             r_new.reshape(nbr_full * B))
+
+
+# ---------------------------------------------------------------------------
+# MME single-site block draws: the epsilon-term (single-step ssbrm) analogue
+# of the SNP draw kernels.  The XLA per-site scan costs ~7 us/site of
+# dispatch overhead (554 ms/iter at qe=80k, benchmarks/epsl_sweep_80k.py);
+# this kernel runs one T-site block's sequential Gaussian draws in VMEM with
+# the same zero-tail micro-block correction as `_unrolled_draws`.
+# Reference analogue: src/solver.cpp:131-140 (sequential arma::sp_mat loop).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mme_block(T, W_ref, r_ref, invd_ref, noise_ref, dx_out, dx_s):
+    """dx_j = (r0_j - sum_{i<j} W[j,i] dx_i) * invd_j + noise_j, j = 0..T-1.
+    W (T, T) = LHS diagonal block (scale*A + diag(counts)); r/invd/noise
+    (T, 1); padding sites carry invd = noise = 0 so dx stays 0."""
+    dx_s[:] = jnp.zeros((T, 1), F32)
+    S = _MICROBLOCK
+    for j0 in range(0, T, S):
+        Wblk = W_ref[pl.ds(j0, S), :]           # (S, T) static slice
+        corr_blk = jax.lax.dot_general(
+            Wblk, dx_s[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )                                       # (S, 1); rows >= j0 still 0
+        carried = []
+        for t in range(S):
+            j = j0 + t
+            rhs = r_ref[j, :].reshape(1, 1) - corr_blk[t, :].reshape(1, 1)
+            for i, dxi in enumerate(carried):
+                rhs = rhs - W_ref[j, j0 + i] * dxi
+            dxj = (rhs * invd_ref[j, :].reshape(1, 1)
+                   + noise_ref[j, :].reshape(1, 1))
+            dx_s[j, :] = dxj.reshape(1)
+            carried.append(dxj)
+    dx_out[:] = dx_s[:]
+
+
+def mme_block_draws(W, r0, invd, noise, interpret=False):
+    """One MME block's T sequential single-site Gaussian draw deltas.
+    W (T, T) f32 LHS block; r0/invd/noise (T,).  Returns dx (T,)."""
+    T = W.shape[0]
+    kern = functools.partial(_kernel_mme_block, T)
+    full = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        kern,
+        in_specs=[full((T, T)), full((T, 1)), full((T, 1)), full((T, 1))],
+        out_specs=full((T, 1)),
+        out_shape=jax.ShapeDtypeStruct((T, 1), F32),
+        scratch_shapes=[pltpu.VMEM((T, 1), F32)],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(W.astype(F32), r0.astype(F32).reshape(T, 1),
+      invd.astype(F32).reshape(T, 1), noise.astype(F32).reshape(T, 1))
+    return dx[:, 0]
+
+
+def supports_mme_block(T: int, dtype) -> bool:
+    return dtype == jnp.float32 and T % _MICROBLOCK == 0

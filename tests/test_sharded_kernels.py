@@ -322,3 +322,79 @@ def test_sbrm_tiled_concurrent_schedule_runs(Rm):
     vg_t = float(np.asarray(s_t["Vg"]).mean())
     vg_c = float(np.asarray(s_c["Vg"]).mean())
     assert abs(vg_t - vg_c) / max(vg_t, 1e-9) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# ring-pipelined EXACT schedule (shard_schedule="pipeline")
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_spec(spec, S, schedule_only=False):
+    import dataclasses
+
+    return dataclasses.replace(
+        spec, shard_schedule="pipeline",
+        emulate_shards=0 if schedule_only else S)
+
+
+@pytest.mark.parametrize("model", ["BayesCpi", "BayesR"])
+def test_pipeline_group0_bitmatches_unsharded(model):
+    """Chain group 0 of the pipelined schedule sweeps the canonical block
+    order, so its chains must reproduce the unsharded batched kernel sweep
+    bit-for-bit (same RNG streams); groups 1.. run rotated orders and are
+    intentionally different (but finite) draws."""
+    data, spec, pr, pi = build(model)
+    S, K = 4, 4
+    states, keys = _batched(spec, data, pr, pi, K)
+    s1 = batch_one_iter(spec, data, states, keys)
+    spec_p = _pipeline_spec(spec, S, schedule_only=True)
+    s8 = batch_one_iter(spec_p, data, states, keys,
+                        mesh=make_mesh(4, shape=(1, 4)))
+    row = lambda s: jax.tree_util.tree_map(lambda x: np.asarray(x)[0], s)
+    assert_sweep_agrees(row(s1), row(s8))
+    assert np.isfinite(np.asarray(s8.g)).all()
+    assert np.isfinite(np.asarray(s8.vare)).all()
+
+
+def test_pipeline_emulation_matches_distributed():
+    """The single-device pipeline emulation runs the identical Markov kernel
+    as the 4-shard distributed pipeline — every chain agrees."""
+    data, spec, pr, pi = build("BayesCpi")
+    S, K = 4, 8
+    states, keys = _batched(spec, data, pr, pi, K)
+    spec_d = _pipeline_spec(spec, S, schedule_only=True)
+    s_d = batch_one_iter(spec_d, data, states, keys,
+                         mesh=make_mesh(4, shape=(1, 4)))
+    spec_e = _pipeline_spec(spec, S)
+    s_e = batch_one_iter(spec_e, data, states, keys)
+    assert_sweep_agrees(s_e, s_d)
+
+
+def test_pipeline_chain_statistical():
+    """A pipelined multi-chain run agrees statistically with the plain
+    multi-chain run (every chain is an exact Gibbs scan, merely in a
+    rotated block order)."""
+    data, spec, pr, pi = build("BayesCpi", n=200, m=1024)
+    kw = {**spec.__dict__}
+    kw.update(niter=300, nburn=150)
+    spec = G.GibbsSpec(**kw)
+    _, s1, _ = G.run_chains(spec, data, pr, pi, seed=5, nchains=4)
+    spec_p = _pipeline_spec(spec, 4, schedule_only=True)
+    mesh = make_mesh(4, shape=(1, 4))
+    _, s8, _ = G.run_chains(spec_p, data, pr, pi, seed=5, nchains=4, mesh=mesh)
+    vg1 = float(np.mean(np.asarray(s1["Vg"])))
+    vg8 = float(np.mean(np.asarray(s8["Vg"])))
+    assert abs(vg1 - vg8) / max(vg1, 1e-9) < 0.25
+    a1 = np.asarray(s1["alpha"]).mean(axis=(0, 1))
+    a8 = np.asarray(s8["alpha"]).mean(axis=(0, 1))
+    assert np.corrcoef(a1, a8)[0, 1] > 0.95
+
+
+def test_pipeline_requires_chain_multiple():
+    """K not a multiple of S must fail loudly."""
+    data, spec, pr, pi = build("BayesCpi")
+    states, keys = _batched(spec, data, pr, pi, 3)
+    spec_p = _pipeline_spec(spec, 4, schedule_only=True)
+    with pytest.raises(ValueError, match="multiple"):
+        batch_one_iter(spec_p, data, states, keys,
+                       mesh=make_mesh(4, shape=(1, 4)))

@@ -314,6 +314,45 @@ def test_blocked_mme_gibbs_sparse_matches_dense():
     assert stored < 4 * A.nnz + sp_obj.diag_blocks.shape[0] * T
 
 
+def test_blocked_mme_gibbs_sparse_kernel_matches_scan():
+    """The fused Pallas MME block-draw kernel draws the same chain as the
+    XLA per-site scan (f32, association-order tolerance)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from hibayes_tpu.data.pedigree import make_ainv, make_ped, rcm_permutation
+    from hibayes_tpu.engine.gibbs import (
+        _build_epsl_sparse,
+        blocked_mme_gibbs_sparse,
+    )
+
+    rng = np.random.default_rng(9)
+    ids, sires, dams = _random_pedigree(40, 300, seed=3)
+    _, s_idx, d_idx = make_ped(ids, sires, dams)
+    Ai = sp.csr_matrix(make_ainv(s_idx, d_idx))
+    perm = rcm_permutation(Ai)
+    A = Ai[perm][:, perm]
+    q = A.shape[0]
+    T = 16
+    sp_obj, qe_pad = _build_epsl_sparse(A, T, jnp.float32)
+    counts = np.zeros(qe_pad, np.float32)
+    counts[:q] = rng.integers(0, 3, q).astype(np.float32)
+    b = np.zeros(qe_pad, np.float32)
+    b[:q] = rng.normal(size=q)
+    z = np.zeros(qe_pad, np.float32)
+    z[:q] = rng.normal(size=q)
+    args = (sp_obj, jnp.asarray(counts), jnp.float32(0.7),
+            jnp.zeros(qe_pad, jnp.float32), jnp.asarray(b), jnp.float32(1.3),
+            jnp.asarray(z))
+    x_scan, Ae_scan = blocked_mme_gibbs_sparse(*args, use_pallas=False)
+    x_kern, Ae_kern = blocked_mme_gibbs_sparse(*args, use_pallas=True,
+                                               interpret=True)
+    scale = np.abs(np.asarray(x_scan)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(x_kern), np.asarray(x_scan),
+                               rtol=0, atol=1e-4 * scale)
+    assert (np.asarray(x_kern)[q:] == 0).all()
+
+
 @pytest.mark.slow
 def test_ssbrm_pcg_path_statistically_matches_direct(demo):
     bin_, pheno, (pid, ps, pd_) = demo
