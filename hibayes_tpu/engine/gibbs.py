@@ -256,10 +256,12 @@ class ChainState(NamedTuple):
 
 class EpslSparse(NamedTuple):
     """Sparse A-inverse(nn) for the single-step epsilon Gibbs: dense (T, T)
-    diagonal blocks feed the in-block site scan; the residual scatter walks
-    padded per-block COO triplets of A[:, block] (col indices in-block);
-    the full COO triple serves the matvec (quadratic form / residual init).
-    All O(nnz) — robust to arbitrary pedigree graph structure."""
+    diagonal blocks feed the in-block site draws; the residual scatter walks
+    padded per-block COO triplets of A[FORWARD rows, block] (col indices
+    in-block; rows of already-swept blocks are dead — the sweep rebuilds the
+    residual from scratch each call); the full COO triple serves the matvec
+    (quadratic form / residual init).  All O(nnz) — robust to arbitrary
+    pedigree graph structure."""
 
     diag_blocks: jnp.ndarray   # (nbr, T, T)
     blk_rows: jnp.ndarray      # (nbr, P) int32 global row of each entry
@@ -633,12 +635,11 @@ def blocked_mme_gibbs_sparse(sp: EpslSparse, counts, scale, x, b, ve, z,
             (_,), (xnew_b, dx_b) = jax.lax.scan(
                 site, (r_local,), (jnp.arange(T), Wb.T, xb, db, zb)
             )
-        # res -= scale * A[:, block] @ dx: scatter this block's triplets
-        # (padding triplets carry val 0 -> harmless adds at row 0)
+        # res -= scale * A[forward rows, block] @ dx: the triplet store is
+        # pre-filtered to rows of blocks not yet swept (backward/own rows
+        # are never read again — the residual is rebuilt from scratch next
+        # call); padding triplets carry val 0 -> harmless adds at row 0
         res = res.at[rows_i].add(-scale * vals_i.astype(dt) * dx_b[cols_i])
-        # + the diag(counts) part of LHS[:, block] (own rows only)
-        seg = jax.lax.dynamic_slice(res, (i * T,), (T,)) - cnt_b * dx_b
-        res = jax.lax.dynamic_update_slice(res, seg, (i * T,))
         x_all = jax.lax.dynamic_update_slice(x_all, xnew_b, (i * T,))
         return (x_all, res), None
 
@@ -2064,9 +2065,15 @@ def _build_epsl_sparse(A, tile: int, dtype) -> tuple:
     for i in range(nbr):
         c0, c1 = i * tile, min(q, (i + 1) * tile)
         blk = A[:, c0:c1].tocoo()
-        blk_r.append(blk.row.astype(np.int32))
-        blk_c.append(blk.col.astype(np.int32))
-        blk_v.append(blk.data)
+        # FORWARD-only triplets (row >= block end): the sweep recomputes the
+        # residual from scratch every call, so scatter updates to rows of
+        # already-swept blocks are never read — in-block coupling is handled
+        # by the dense diagonal block, backward rows are dead.  Halves the
+        # scatter mass of a symmetric A on average.
+        fwd = blk.row >= c1
+        blk_r.append(blk.row[fwd].astype(np.int32))
+        blk_c.append(blk.col[fwd].astype(np.int32))
+        blk_v.append(blk.data[fwd])
         d = A[c0:c1, c0:c1].toarray()
         diag_blocks[i, : d.shape[0], : d.shape[1]] = d
     P = max(max((len(r) for r in blk_r), default=1), 1)
