@@ -1,10 +1,14 @@
 """BASELINE config-5 shape: ssbrm on a 100,000-id pedigree / 20,000 genotyped
 / 10,000 phenotyped, matrix-free PCG imputation + sparse epsilon Gibbs.
 
-Measured (one tunneled v5e chip, 2026-08-20): 1050 s end-to-end for 60
-iterations incl. compile + pedigree processing + imputation; peak host RSS
-3.5 GB; all 100k GEBVs finite.  The dense operators this path avoids would
-need 12.8 GB (A.ng) + 51.2 GB (epsilon A-inverse).
+Measured (one tunneled v5e chip): round-2 1050 s end-to-end for 60
+iterations incl. compile + pedigree processing + imputation; round-5
+**332 s** (3.2x — fused MME epsilon kernel + forward-only scatter; the
+MCMC segment itself is 24.4 s for 60 iterations incl. compile, steady
+state ~43 ms/iter of which the qe=80k epsilon sweep is the bulk —
+benchmarks/epsl_sweep_80k.py), peak host RSS 5.9 GB, all 100k GEBVs
+finite.  The dense operators this path avoids would need 12.8 GB (A.ng)
++ 51.2 GB (epsilon A-inverse).
 
 Usage: python benchmarks/ssbrm_100k_pedigree.py [m] — default m=1000; pass
 m=100000 for the combined pedigree-scale x SNP-scale configuration

@@ -2344,6 +2344,18 @@ def run_chain(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init, seed=66
         else:
             state, samples = _run_all(spec, data, base_key, state0)
     state, samples = jax.block_until_ready((state, samples))
+    if not np.isfinite(np.asarray(state.vare)).all():
+        import warnings
+
+        warnings.warn(
+            "chain diverged: residual variance is non-finite at the final "
+            "iteration"
+            + (" — the relaxed shard_schedule='concurrent' kernel is a "
+               "known divergence source in the m > n regime; rerun with "
+               "'pipeline' or 'turn'"
+               if spec.shard_schedule == "concurrent" else ""),
+            UserWarning, stacklevel=2,
+        )
 
     nzct = spec.n_records * spec.thin
     pip = state.nzrate / nzct
@@ -2538,6 +2550,19 @@ def run_chains(spec: GibbsSpec, data: GibbsData, priors: Priors, pi_init,
     else:
         states, samples = _run_all_multi(spec, data, chain_keys, states0)
     states, samples = jax.block_until_ready((states, samples))
+    bad = ~np.isfinite(np.asarray(states.vare))
+    if bad.any():
+        import warnings
+
+        warnings.warn(
+            f"{int(bad.sum())}/{nchains} chains diverged (non-finite "
+            "residual variance at the final iteration)"
+            + (" — the relaxed shard_schedule='concurrent' kernel is a "
+               "known divergence source in the m > n regime; rerun with "
+               "'pipeline' or 'turn'"
+               if spec.shard_schedule == "concurrent" else ""),
+            UserWarning, stacklevel=2,
+        )
     if segmented:
         # segmented chunks are records-major: (n_records, K, ...) -> (K, n_records, ...)
         samples = {k: np.swapaxes(np.asarray(v), 0, 1) for k, v in samples.items()}

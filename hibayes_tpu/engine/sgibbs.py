@@ -563,6 +563,13 @@ def _tiled_sweep_snp_sharded(spec: GibbsSpec, consts, data: SGibbsData, vei,
                 row_ids, rh)
 
         pvt_full = pvt + (zr,)
+        if spec.shard_schedule == "pipeline":
+            raise ValueError(
+                "shard_schedule='pipeline' is an individual-level (ibrm) "
+                "schedule; the summary engine supports 'turn' (exact) and "
+                "'concurrent' (near-exact here: cross-shard coupling is "
+                "bounded by LD tiles spanning shard boundaries)"
+            )
         if spec.shard_schedule == "concurrent":
             # all shards sweep their local tile rows simultaneously against
             # the round-start r_hat; one psum merge per round (r_hat is

@@ -390,6 +390,19 @@ def test_pipeline_chain_statistical():
     assert np.corrcoef(a1, a8)[0, 1] > 0.95
 
 
+def test_sbrm_tiled_pipeline_raises():
+    """The summary engine has no pipeline schedule — must fail loudly, not
+    silently run the turn loop."""
+    import dataclasses
+
+    data, spec, pr, pi = build_tiled("BayesCpi", m=2048, guard=True)
+    spec_p = dataclasses.replace(spec, shard_schedule="pipeline",
+                                 niter=4, nburn=2)
+    mesh = make_mesh(4, shape=(1, 4))
+    with pytest.raises(ValueError, match="pipeline"):
+        SG.run_s_chain(spec_p, data, pr, pi, seed=5, mesh=mesh)
+
+
 def test_pipeline_requires_chain_multiple():
     """K not a multiple of S must fail loudly."""
     data, spec, pr, pi = build("BayesCpi")

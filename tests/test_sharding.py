@@ -157,6 +157,26 @@ def test_ibrm_api_mesh_equality():
     np.testing.assert_allclose(f8.alpha, f1.alpha, atol=1e-10)
 
 
+def test_ibrm_api_pipeline_schedule():
+    """shard_schedule='pipeline' through the high-level API: 4 chains
+    ring-rotating over a 4-shard m-MP mesh produce a sane multi-chain fit."""
+    import hibayes_tpu as ht
+
+    rng = np.random.default_rng(1)
+    n, m = 160, 512
+    M = rng.binomial(2, 0.3, (n, m)).astype(np.float64)
+    y = M @ rng.normal(0, 0.1, m) + rng.normal(0, 1, n)
+    data = {"id": np.array([f"I{i}" for i in range(n)]), "y": y}
+    kw = dict(data=data, M=M, M_id=data["id"], method="BayesCpi", niter=120,
+              nburn=60, verbose=False, block=32)
+    f1 = ht.ibrm("y~1", nchains=4, **kw)
+    fp = ht.ibrm("y~1", nchains=4, mesh=make_mesh(4, shape=(1, 4)),
+                 shard_schedule="pipeline", **kw)
+    assert np.isfinite(fp.alpha).all()
+    assert abs(fp.Vg - f1.Vg) / max(f1.Vg, 1e-9) < 0.5
+    assert np.corrcoef(fp.alpha, f1.alpha)[0, 1] > 0.8
+
+
 def test_shard_state_is_sharding_fixed_point():
     """shard_state must place the chain state exactly as one_iteration emits
     it, so threaded state (segmented checkpoint runner, benchmark loops)
