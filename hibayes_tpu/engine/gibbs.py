@@ -1567,10 +1567,11 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
             perm = [(i, (i + 1) % S) for i in range(S)]
             rows = lambda a, c: jax.lax.dynamic_slice_in_dim(a, c * Kg, Kg, 0)
 
-            # local state starts as the HOME group's rows (yadj/u replicated
-            # in; each shard takes its own group's slice)
-            ya_loc = rows(yadj, sidx)
-            u_loc = rows(u, sidx)
+            # local state arrives as the HOME group's rows (yadj/u in_specs
+            # are PS("snp", None) for the pipeline — shard_map slices the
+            # batch instead of all-gathering it every iteration)
+            ya_loc = yadj
+            u_loc = u
             vi_loc = jnp.zeros((Kg,), dt)
             vR_loc = jnp.zeros((Kg,), dt)
             g_cur = g_l.astype(dt)
@@ -1650,16 +1651,17 @@ def _sweep_snp_sharded_mc(spec: GibbsSpec, data: GibbsData, consts_b, rnd_b,
     pvk_spec = tuple(PS(None, "snp", *([None] * (x.ndim - 2))) for x in pvk)
     consts_spec = jax.tree_util.tree_map(lambda _: PS(), consts_b)
     if pipeline:
-        # home-group rows come back sharded over chains (axis 0) — the
-        # batch reassembles across shards; scalars likewise
+        # home-group rows travel sharded over chains (axis 0) on the way in
+        # AND out — shard_map slices the batch instead of all-gathering it
         ya_out, sc_out = PS("snp", None), PS("snp")
     else:
         ya_out, sc_out = ind_spec, PS()
+    ya_in = ya_out if pipeline else ind_spec
     out = shard_map(
         body, mesh=mesh,
         in_specs=(PS("snp", "ind" if has_ind else None, None),
-                  PS("snp", None, None), pvs_spec, pvk_spec, ind_spec,
-                  ind_spec, consts_spec),
+                  PS("snp", None, None), pvs_spec, pvk_spec, ya_in,
+                  ya_in, consts_spec),
         out_specs=(PS(None, "snp", None), PS(None, "snp", None),
                    PS(None, "snp", None), ya_out, ya_out, sc_out, sc_out),
         check_vma=False,
