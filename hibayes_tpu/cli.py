@@ -99,6 +99,15 @@ def main(argv=None):
     p_i.add_argument("--pheno", required=True)
     p_i.add_argument("--formula", required=True)
     p_i.add_argument("--nchains", type=int, default=1)
+    p_i.add_argument("--shards", type=int, default=1,
+                     help="SNP-axis model-parallel shards (devices); the "
+                          "genotype/Gram blocks split across their HBMs")
+    p_i.add_argument("--shard-schedule", default="turn",
+                     choices=("turn", "pipeline", "concurrent"),
+                     help="m-MP sweep schedule: turn (exact), pipeline "
+                          "(exact, all shards busy; nchains must be a "
+                          "multiple of --shards), concurrent (relaxed; "
+                          "validated only for m <~ n)")
     _common_mcmc_args(p_i)
 
     p_s = sub.add_parser("sbrm", help="summary-level Bayesian regression")
@@ -161,9 +170,16 @@ def main(argv=None):
 
     if a.cmd == "ibrm":
         pheno = read_pheno(a.pheno)
+        mesh = None
+        if getattr(a, "shards", 1) > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(a.shards, shape=(1, a.shards))
         fit = ht.ibrm(a.formula, data=pheno, M=binr["geno"].values,
                       M_id=binr["fam"][1], checkpoint=a.checkpoint,
-                      nchains=a.nchains, **common)
+                      nchains=a.nchains, mesh=mesh,
+                      shard_schedule=getattr(a, "shard_schedule", "turn"),
+                      **common)
     elif a.cmd == "sbrm":
         ma = ht.read_sumstat(a.sumstat)
         ld = ht.ldmat(binr["geno"], map=binr["map"], chisq=a.chisq,

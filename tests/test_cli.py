@@ -114,3 +114,15 @@ def test_cli_ssbrm_pcg(tmp_path):
                "--quiet", "--out-prefix", out])
     assert rc == 0
     assert len(open(out + ".gebv.tsv").read().splitlines()) > 1000
+
+
+def test_cli_ibrm_sharded_pipeline(tmp_path):
+    """--shards/--shard-schedule reach the m-MP mesh path from the CLI."""
+    out = str(tmp_path / "fitp")
+    rc = main(["ibrm", "--bfile", DEMO, "--pheno", DEMO + ".phe",
+               "--formula", "T1~1", "--niter", "120", "--nburn", "60",
+               "--quiet", "--out-prefix", out, "--nchains", "2",
+               "--shards", "2", "--shard-schedule", "pipeline"])
+    assert rc == 0
+    alpha = open(out + ".alpha.tsv").read().splitlines()
+    assert len(alpha) == 1001
